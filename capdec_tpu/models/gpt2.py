@@ -1,0 +1,354 @@
+"""GPT-2 decoder-only language model, pure functional JAX.
+
+TPU-first re-design of the decoder CapDec drives through HuggingFace
+(`GPT2LMHeadModel.from_pretrained('gpt2')`, reference train.py:266,
+gpt2_prefix.py:162). Architecture is the standard GPT-2: learned token +
+position embeddings, pre-LN blocks with fused-QKV attention and gelu_new
+MLPs, tied LM head.
+
+Design choices (why this is not a port):
+  * Parameters are a plain pytree of arrays. All transformer blocks are
+    *stacked* along a leading layer axis and the forward pass is a single
+    `lax.scan` over layers — one compiled block body instead of 12 unrolled
+    ones, which keeps XLA compile time low and makes tensor-parallel
+    sharding a single annotation per stacked array.
+  * Full-sequence forward (training / prefill) and single-token cached
+    decode share one block implementation; the KV cache is a fixed-shape
+    pytree carried through the scan, so autoregressive decoding is
+    `O(T * L)` matmuls on static shapes — no growing `inputs_embeds`
+    re-forward like the reference decode loop (gpt2_prefix_eval.py:76).
+  * Matmuls run in a configurable compute dtype (bfloat16 on TPU) with
+    float32 accumulation via `preferred_element_type`; layernorm statistics
+    and the softmax stay in float32.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = Dict[str, Any]
+
+NEG_INF = -1e9  # additive mask value; large enough at bf16/f32 softmax
+
+
+@dataclasses.dataclass(frozen=True)
+class GPT2Config:
+    """Hyperparameters of the decoder. Defaults = GPT-2 base (124M)."""
+
+    vocab_size: int = 50257
+    n_positions: int = 1024
+    n_embd: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    layer_norm_epsilon: float = 1e-5
+    # dtype used for matmul inputs; float32 params are cast on the fly.
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+
+def gelu_new(x: jnp.ndarray) -> jnp.ndarray:
+    """GPT-2's tanh-approximate GELU (HF `gelu_new`)."""
+    c = jnp.asarray(0.7978845608028654, x.dtype)  # sqrt(2/pi)
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def init_params(key: jax.Array, cfg: GPT2Config, dtype=jnp.float32) -> Params:
+    """Random init matching GPT-2's scheme (normal 0.02, zeros for biases)."""
+    k_wte, k_wpe, k_blocks = jax.random.split(key, 3)
+    D, L, F = cfg.n_embd, cfg.n_layer, 4 * cfg.n_embd
+
+    def normal(k, shape, std=0.02):
+        return (jax.random.normal(k, shape) * std).astype(dtype)
+
+    ks = jax.random.split(k_blocks, 4)
+    blocks = {
+        "ln_1": {"scale": jnp.ones((L, D), dtype), "bias": jnp.zeros((L, D), dtype)},
+        "ln_2": {"scale": jnp.ones((L, D), dtype), "bias": jnp.zeros((L, D), dtype)},
+        "attn": {
+            "c_attn_w": normal(ks[0], (L, D, 3 * D)),
+            "c_attn_b": jnp.zeros((L, 3 * D), dtype),
+            # residual-projection std scaled by 1/sqrt(2*L) as in GPT-2.
+            "c_proj_w": normal(ks[1], (L, D, D), std=0.02 / (2 * L) ** 0.5),
+            "c_proj_b": jnp.zeros((L, D), dtype),
+        },
+        "mlp": {
+            "c_fc_w": normal(ks[2], (L, D, F)),
+            "c_fc_b": jnp.zeros((L, F), dtype),
+            "c_proj_w": normal(ks[3], (L, F, D), std=0.02 / (2 * L) ** 0.5),
+            "c_proj_b": jnp.zeros((L, D), dtype),
+        },
+    }
+    return {
+        "wte": normal(k_wte, (cfg.vocab_size, D)),
+        "wpe": normal(k_wpe, (cfg.n_positions, D), std=0.01),
+        "ln_f": {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)},
+        "blocks": blocks,
+    }
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=None) -> Params:
+    """Fixed-shape per-layer KV cache: [L, B, H, S_max, head_dim]."""
+    dtype = dtype or cfg.compute_dtype
+    shape = (cfg.n_layer, batch, cfg.n_head, max_len, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def reorder_kv_cache(cache: Params, source: jnp.ndarray) -> Params:
+    """Gather cache rows along the batch axis (beam-search reordering)."""
+    return jax.tree.map(lambda a: jnp.take(a, source, axis=1), cache)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y = (x32 - mu) * lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _attention(q, k, v, bias):
+    """q: [B,H,T,d]; k,v: [B,H,S,d]; bias: [B,1,T,S] additive (0 / NEG_INF)."""
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    scores = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
+    scores = scores * scale + bias
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", probs, v, preferred_element_type=jnp.float32)
+
+
+def _block(x, layer: Params, bias, cfg: GPT2Config,
+           cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+           cache_index: Optional[jnp.ndarray] = None):
+    """One transformer block on [B, T, D]. Returns (y, new_cache_kv).
+
+    With a cache, the block's freshly-computed K/V for the T new positions
+    are written at `cache_index` and attention runs over the whole cache.
+    """
+    B, T, D = x.shape
+    H, hd = cfg.n_head, cfg.head_dim
+    cdt = cfg.compute_dtype
+
+    h = _layer_norm(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"],
+                    cfg.layer_norm_epsilon)
+    qkv = jnp.dot(h.astype(cdt), layer["attn"]["c_attn_w"].astype(cdt),
+                  preferred_element_type=jnp.float32) + layer["attn"]["c_attn_b"]
+    qkv = qkv.astype(cdt)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    # [B, T, D] -> [B, H, T, hd]
+    q = q.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+
+    new_cache = None
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
+        cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
+        k, v = ck.astype(cdt), cv.astype(cdt)
+        new_cache = (ck, cv)
+
+    attn = _attention(q, k, v, bias)  # [B, H, T, hd] fp32
+    attn = attn.transpose(0, 2, 1, 3).reshape(B, T, D).astype(cdt)
+    attn = jnp.dot(attn, layer["attn"]["c_proj_w"].astype(cdt),
+                   preferred_element_type=jnp.float32) + layer["attn"]["c_proj_b"]
+    x = x + attn.astype(x.dtype)
+
+    h = _layer_norm(x, layer["ln_2"]["scale"], layer["ln_2"]["bias"],
+                    cfg.layer_norm_epsilon)
+    h = jnp.dot(h.astype(cdt), layer["mlp"]["c_fc_w"].astype(cdt),
+                preferred_element_type=jnp.float32) + layer["mlp"]["c_fc_b"]
+    h = gelu_new(h).astype(cdt)
+    h = jnp.dot(h, layer["mlp"]["c_proj_w"].astype(cdt),
+                preferred_element_type=jnp.float32) + layer["mlp"]["c_proj_b"]
+    x = x + h.astype(x.dtype)
+    return x, new_cache
+
+
+def _final_logits(params: Params, cfg: GPT2Config, x: jnp.ndarray) -> jnp.ndarray:
+    x = _layer_norm(x, params["ln_f"]["scale"], params["ln_f"]["bias"],
+                    cfg.layer_norm_epsilon)
+    cdt = cfg.compute_dtype
+    # Tied LM head: logits = x @ wte^T, accumulated in fp32.
+    return jnp.dot(x.astype(cdt), params["wte"].astype(cdt).T,
+                   preferred_element_type=jnp.float32)
+
+
+def embed_tokens(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Token embedding lookup (reference `gpt.transformer.wte(tokens)`)."""
+    return jnp.take(params["wte"], tokens, axis=0)
+
+
+def forward(params: Params, cfg: GPT2Config, inputs_embeds: jnp.ndarray,
+            attention_mask: Optional[jnp.ndarray] = None,
+            position_offset: int | jnp.ndarray = 0) -> jnp.ndarray:
+    """Full-sequence forward. inputs_embeds: [B, T, D] -> logits [B, T, V].
+
+    `attention_mask` is an optional [B, T] 1/0 key mask (HF semantics:
+    masked keys are removed from attention; queries still produce outputs).
+    A causal mask is always applied.
+    """
+    B, T, D = inputs_embeds.shape
+    positions = position_offset + jnp.arange(T)
+    x = inputs_embeds + jnp.take(params["wpe"], positions, axis=0)
+    x = x.astype(cfg.compute_dtype)
+
+    causal = jnp.tril(jnp.ones((T, T), jnp.bool_))
+    bias = jnp.where(causal, 0.0, NEG_INF)[None, None, :, :]
+    if attention_mask is not None:
+        key_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, NEG_INF)
+        bias = bias + key_bias
+    bias = bias.astype(jnp.float32)
+
+    def scan_body(carry, layer):
+        y, _ = _block(carry, layer, bias, cfg)
+        return y, None
+
+    x, _ = lax.scan(scan_body, x, params["blocks"])
+    return _final_logits(params, cfg, x)
+
+
+def forward_with_cache(params: Params, cfg: GPT2Config, inputs_embeds: jnp.ndarray,
+                       cache: Params, cache_index: jnp.ndarray,
+                       key_mask: Optional[jnp.ndarray] = None
+                       ) -> Tuple[jnp.ndarray, Params]:
+    """Cached forward for prefill (T>1) or decode (T=1).
+
+    Writes K/V for the T new positions at `cache_index` and attends over the
+    full fixed-size cache. Returns (logits [B, T, V], new_cache).
+
+    `key_mask`: optional [B, S_max] validity mask over cache slots; if None,
+    validity is derived from `cache_index` (slots < cache_index + T, with
+    causal ordering among the new positions).
+    """
+    B, T, D = inputs_embeds.shape
+    S = cache["k"].shape[3]
+    positions = cache_index + jnp.arange(T)
+    x = inputs_embeds + jnp.take(params["wpe"], positions, axis=0)
+    x = x.astype(cfg.compute_dtype)
+
+    # Validity of each cache slot for each new query position:
+    # slot s is visible to query t iff s <= cache_index + t.
+    slot_ids = jnp.arange(S)[None, :]        # [1, S]
+    query_ids = cache_index + jnp.arange(T)[:, None]  # [T, 1]
+    visible = slot_ids <= query_ids           # [T, S]
+    bias = jnp.where(visible, 0.0, NEG_INF)[None, None, :, :]
+    if key_mask is not None:
+        bias = bias + jnp.where(key_mask[:, None, None, :] > 0, 0.0, NEG_INF)
+    bias = bias.astype(jnp.float32)
+
+    def scan_body(carry, inputs):
+        layer, ck, cv = inputs
+        y, new_kv = _block(carry, layer, bias, cfg, cache_kv=(ck, cv),
+                           cache_index=cache_index)
+        return y, new_kv
+
+    x, (new_k, new_v) = lax.scan(scan_body, x,
+                                 (params["blocks"], cache["k"], cache["v"]))
+    logits = _final_logits(params, cfg, x)
+    return logits, {"k": new_k, "v": new_v}
+
+
+# ---------------------------------------------------------------------------
+# HuggingFace / torch state_dict conversion
+# ---------------------------------------------------------------------------
+
+def params_from_torch_state_dict(state_dict: Dict[str, Any], cfg: GPT2Config,
+                                 prefix: str = "", dtype=jnp.float32) -> Params:
+    """Build a params pytree from a HF GPT2LMHeadModel state_dict.
+
+    `prefix` handles nesting (CapDec checkpoints store the LM under `gpt.`,
+    reference train.py:266 / checkpoint key structure `gpt.*`). HF stores
+    attention/MLP weights as Conv1D ([in, out]) so no transpose is needed.
+    Accepts torch tensors or numpy arrays.
+    """
+    import numpy as np
+
+    def get(name):
+        t = state_dict[prefix + name]
+        if hasattr(t, "detach"):
+            t = t.detach().cpu().numpy()
+        return jnp.asarray(np.asarray(t), dtype=dtype)
+
+    L = cfg.n_layer
+
+    def stack(fmt):
+        return jnp.stack([get(fmt.format(i)) for i in range(L)])
+
+    return {
+        "wte": get("transformer.wte.weight"),
+        "wpe": get("transformer.wpe.weight"),
+        "ln_f": {"scale": get("transformer.ln_f.weight"),
+                 "bias": get("transformer.ln_f.bias")},
+        "blocks": {
+            "ln_1": {"scale": stack("transformer.h.{}.ln_1.weight"),
+                     "bias": stack("transformer.h.{}.ln_1.bias")},
+            "ln_2": {"scale": stack("transformer.h.{}.ln_2.weight"),
+                     "bias": stack("transformer.h.{}.ln_2.bias")},
+            "attn": {
+                "c_attn_w": stack("transformer.h.{}.attn.c_attn.weight"),
+                "c_attn_b": stack("transformer.h.{}.attn.c_attn.bias"),
+                "c_proj_w": stack("transformer.h.{}.attn.c_proj.weight"),
+                "c_proj_b": stack("transformer.h.{}.attn.c_proj.bias"),
+            },
+            "mlp": {
+                "c_fc_w": stack("transformer.h.{}.mlp.c_fc.weight"),
+                "c_fc_b": stack("transformer.h.{}.mlp.c_fc.bias"),
+                "c_proj_w": stack("transformer.h.{}.mlp.c_proj.weight"),
+                "c_proj_b": stack("transformer.h.{}.mlp.c_proj.bias"),
+            },
+        },
+    }
+
+
+def params_to_torch_state_dict(params: Params, prefix: str = "") -> Dict[str, Any]:
+    """Inverse of `params_from_torch_state_dict` (numpy arrays as values)."""
+    import numpy as np
+
+    out = {}
+
+    def put(name, arr):
+        out[prefix + name] = np.asarray(arr)
+
+    put("transformer.wte.weight", params["wte"])
+    put("transformer.wpe.weight", params["wpe"])
+    put("transformer.ln_f.weight", params["ln_f"]["scale"])
+    put("transformer.ln_f.bias", params["ln_f"]["bias"])
+    put("lm_head.weight", params["wte"])  # tied head
+    b = params["blocks"]
+    L = b["ln_1"]["scale"].shape[0]
+    for i in range(L):
+        put(f"transformer.h.{i}.ln_1.weight", b["ln_1"]["scale"][i])
+        put(f"transformer.h.{i}.ln_1.bias", b["ln_1"]["bias"][i])
+        put(f"transformer.h.{i}.ln_2.weight", b["ln_2"]["scale"][i])
+        put(f"transformer.h.{i}.ln_2.bias", b["ln_2"]["bias"][i])
+        put(f"transformer.h.{i}.attn.c_attn.weight", b["attn"]["c_attn_w"][i])
+        put(f"transformer.h.{i}.attn.c_attn.bias", b["attn"]["c_attn_b"][i])
+        put(f"transformer.h.{i}.attn.c_proj.weight", b["attn"]["c_proj_w"][i])
+        put(f"transformer.h.{i}.attn.c_proj.bias", b["attn"]["c_proj_b"][i])
+        put(f"transformer.h.{i}.mlp.c_fc.weight", b["mlp"]["c_fc_w"][i])
+        put(f"transformer.h.{i}.mlp.c_fc.bias", b["mlp"]["c_fc_b"][i])
+        put(f"transformer.h.{i}.mlp.c_proj.weight", b["mlp"]["c_proj_w"][i])
+        put(f"transformer.h.{i}.mlp.c_proj.bias", b["mlp"]["c_proj_b"][i])
+    return out

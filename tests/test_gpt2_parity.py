@@ -1,0 +1,124 @@
+"""Logit parity of the JAX GPT-2 against HuggingFace's torch implementation.
+
+Strategy (offline-safe): build a randomly initialized torch GPT2LMHeadModel
+from a small GPT2Config (no download), convert its state_dict into our
+params pytree, and require logits to match to ~1e-4 on fixed inputs — the
+gate demanded by SURVEY.md §7 step 1.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from capdec_tpu.models import gpt2
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+SMALL = dict(vocab_size=97, n_positions=64, n_embd=48, n_layer=3, n_head=4)
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    torch.manual_seed(0)
+    hf_cfg = transformers.GPT2Config(
+        vocab_size=SMALL["vocab_size"], n_positions=SMALL["n_positions"],
+        n_embd=SMALL["n_embd"], n_layer=SMALL["n_layer"], n_head=SMALL["n_head"],
+        attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+    )
+    model = transformers.GPT2LMHeadModel(hf_cfg)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def jax_params(torch_model):
+    cfg = gpt2.GPT2Config(**SMALL)
+    return gpt2.params_from_torch_state_dict(torch_model.state_dict(), cfg), cfg
+
+
+def test_logits_match_token_input(torch_model, jax_params):
+    params, cfg = jax_params
+    rng = np.random.RandomState(1)
+    tokens = rng.randint(0, SMALL["vocab_size"], size=(2, 17))
+    with torch.no_grad():
+        ref = torch_model(input_ids=torch.tensor(tokens)).logits.numpy()
+    embeds = gpt2.embed_tokens(params, jnp.asarray(tokens))
+    got = np.asarray(gpt2.forward(params, cfg, embeds))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_logits_match_inputs_embeds_with_mask(torch_model, jax_params):
+    """The CapDec forward path: prefix embeddings + token embeddings with a
+    key mask that zeroes padded positions (reference train.py:251-260)."""
+    params, cfg = jax_params
+    rng = np.random.RandomState(2)
+    B, K, T, D = 2, 5, 9, SMALL["n_embd"]
+    prefix = rng.randn(B, K, D).astype(np.float32) * 0.02
+    tokens = rng.randint(1, SMALL["vocab_size"], size=(B, T))
+    tokens[0, -3:] = 0  # padded tail
+    mask = np.concatenate(
+        [np.ones((B, K), np.float32), (tokens > 0).astype(np.float32)], axis=1)
+
+    with torch.no_grad():
+        tok_embeds = torch_model.transformer.wte(torch.tensor(tokens))
+        cat = torch.cat([torch.tensor(prefix), tok_embeds], dim=1)
+        ref = torch_model(inputs_embeds=cat,
+                          attention_mask=torch.tensor(mask)).logits.numpy()
+
+    embeds = jnp.concatenate(
+        [jnp.asarray(prefix), gpt2.embed_tokens(params, jnp.asarray(tokens))], axis=1)
+    got = np.asarray(gpt2.forward(params, cfg, embeds, jnp.asarray(mask)))
+
+    # Only positions whose *query* is valid need to match: HF recomputes
+    # garbage at padded queries exactly like we do, but allow them to differ.
+    valid = mask > 0
+    np.testing.assert_allclose(got[valid], ref[valid], atol=2e-4, rtol=2e-4)
+
+
+def test_cached_decode_matches_full_forward(jax_params):
+    """Prefill + per-token cached decode == full forward on the same tokens."""
+    params, cfg = jax_params
+    rng = np.random.RandomState(3)
+    B, P, T = 2, 6, 5
+    S_max = P + T
+    prefix = jnp.asarray(rng.randn(B, P, SMALL["n_embd"]).astype(np.float32) * 0.02)
+    tokens = jnp.asarray(rng.randint(0, SMALL["vocab_size"], size=(B, T)))
+
+    full_embeds = jnp.concatenate(
+        [prefix, gpt2.embed_tokens(params, tokens)], axis=1)
+    ref_logits = gpt2.forward(params, cfg, full_embeds)
+
+    cache = gpt2.init_kv_cache(cfg, B, S_max)
+    logits, cache = gpt2.forward_with_cache(params, cfg, prefix, cache,
+                                            jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits[:, :P]),
+                               atol=1e-4, rtol=1e-4)
+    for t in range(T):
+        step_embed = gpt2.embed_tokens(params, tokens[:, t:t + 1])
+        logits, cache = gpt2.forward_with_cache(params, cfg, step_embed, cache,
+                                                jnp.asarray(P + t))
+        np.testing.assert_allclose(np.asarray(logits[:, 0]),
+                                   np.asarray(ref_logits[:, P + t]),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_state_dict_round_trip(torch_model, jax_params):
+    params, cfg = jax_params
+    sd = gpt2.params_to_torch_state_dict(params)
+    ref_sd = torch_model.state_dict()
+    for k, v in sd.items():
+        np.testing.assert_array_equal(v, ref_sd[k].numpy(), err_msg=k)
+
+
+def test_reorder_kv_cache():
+    cfg = gpt2.GPT2Config(**SMALL)
+    cache = gpt2.init_kv_cache(cfg, 4, 8)
+    cache = {"k": cache["k"] + jnp.arange(4)[None, :, None, None, None],
+             "v": cache["v"]}
+    src = jnp.asarray([3, 3, 0, 1])
+    out = gpt2.reorder_kv_cache(cache, src)
+    np.testing.assert_array_equal(np.asarray(out["k"][0, :, 0, 0, 0]),
+                                  [3.0, 3.0, 0.0, 1.0])
