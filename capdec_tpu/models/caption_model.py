@@ -1,0 +1,120 @@
+"""The CapDec caption model: mapper prefix + GPT-2 prefix-LM, in one place.
+
+The reference split this across two drifted stacks (train.py:246-284 vs
+gpt2_prefix.py:139-186, see SURVEY.md §1); here there is ONE definition
+used by both training and inference, with converters that accept either
+stack's checkpoints (their state_dict key structure is identical).
+
+Forward contract (reference train.py:251-260):
+    embedding_cat = concat(mapper(prefix_clip) -> [B,K,768],
+                           wte(tokens)        -> [B,T,768])
+    logits = gpt2(inputs_embeds=embedding_cat, attention_mask=mask)
+
+Loss contract (train.py:349-350): cross-entropy of logits[:, K-1:-1]
+against `tokens` with ignore_index=0 (padded positions hold token 0).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import gpt2
+from . import mappers
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class CaptionModelConfig:
+    prefix_length: int = 40
+    clip_length: int = 40
+    prefix_size: int = 640           # 640 for RN50x4, 512 for ViT-B/32
+    num_layers: int = 8
+    mapping_type: str = "transformer"
+    only_prefix: bool = False        # freeze GPT-2; train the mapper only
+    gpt2: gpt2.GPT2Config = dataclasses.field(default_factory=gpt2.GPT2Config)
+
+    @property
+    def mapper(self) -> mappers.MapperConfig:
+        return mappers.MapperConfig(
+            mapping_type=self.mapping_type,
+            dim_clip=self.prefix_size,
+            dim_embedding=self.gpt2.n_embd,
+            prefix_length=self.prefix_length,
+            clip_length=self.clip_length,
+            num_layers=self.num_layers,
+        )
+
+
+def init_params(key: jax.Array, cfg: CaptionModelConfig,
+                dtype=jnp.float32) -> Params:
+    k_gpt, k_map = jax.random.split(key)
+    return {
+        "gpt": gpt2.init_params(k_gpt, cfg.gpt2, dtype),
+        "clip_project": mappers.init_mapper(k_map, cfg.mapper, dtype),
+    }
+
+
+def map_prefix(params: Params, cfg: CaptionModelConfig,
+               prefix: jnp.ndarray) -> jnp.ndarray:
+    """CLIP embedding [B, prefix_size] → prefix embeddings [B, K, 768]."""
+    return mappers.apply_mapper(params["clip_project"], cfg.mapper, prefix)
+
+
+def forward(params: Params, cfg: CaptionModelConfig, tokens: jnp.ndarray,
+            prefix: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+            ) -> jnp.ndarray:
+    """Training forward: logits [B, K+T, V]."""
+    tok_embeds = gpt2.embed_tokens(params["gpt"], tokens)
+    prefix_embeds = map_prefix(params, cfg, prefix).astype(tok_embeds.dtype)
+    embeds = jnp.concatenate([prefix_embeds, tok_embeds], axis=1)
+    return gpt2.forward(params["gpt"], cfg.gpt2, embeds, mask)
+
+
+def loss_fn(logits: jnp.ndarray, tokens: jnp.ndarray,
+            prefix_length: int) -> jnp.ndarray:
+    """Masked-mean CE over logits[:, K-1:-1] vs tokens, ignore_index=0."""
+    shifted = logits[:, prefix_length - 1:-1]
+    logp = jax.nn.log_softmax(shifted.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, tokens[..., None], axis=-1)[..., 0]
+    valid = (tokens != 0).astype(jnp.float32)
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint conversion (reference `.pt` state_dicts)
+# ---------------------------------------------------------------------------
+
+
+def params_from_torch_state_dict(sd: Dict[str, Any], cfg: CaptionModelConfig,
+                                 dtype=jnp.float32) -> Params:
+    """Load a reference CapDec checkpoint (keys `gpt.*` + `clip_project.*`)."""
+    return {
+        "gpt": gpt2.params_from_torch_state_dict(sd, cfg.gpt2, prefix="gpt.",
+                                                 dtype=dtype),
+        "clip_project": mappers.mapper_from_torch_state_dict(
+            sd, cfg.mapper, prefix="clip_project.", dtype=dtype),
+    }
+
+
+def params_to_torch_state_dict(params: Params,
+                               cfg: CaptionModelConfig) -> Dict[str, Any]:
+    out = gpt2.params_to_torch_state_dict(params["gpt"], prefix="gpt.")
+    out.update(mappers.mapper_to_torch_state_dict(
+        params["clip_project"], cfg.mapper, prefix="clip_project."))
+    return out
+
+
+def trainable_mask(params: Params, cfg: CaptionModelConfig) -> Params:
+    """Pytree of booleans: which params receive gradients.
+
+    only_prefix=True mirrors `ClipCaptionPrefix` (train.py:276-284): GPT-2
+    is frozen and only the mapper trains.
+    """
+    return {
+        "gpt": jax.tree.map(lambda _: not cfg.only_prefix, params["gpt"]),
+        "clip_project": jax.tree.map(lambda _: True, params["clip_project"]),
+    }
