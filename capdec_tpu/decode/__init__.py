@@ -1,0 +1,2 @@
+from .beam import BeamConfig, beam_search, beam_texts  # noqa: F401
+from .topp import ToppConfig, greedy_topp_search, topp_texts  # noqa: F401

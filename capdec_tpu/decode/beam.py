@@ -1,0 +1,135 @@
+"""Fixed-shape, KV-cached, batched beam search.
+
+Bit-for-bit re-implementation of the reference beam semantics
+(gpt2_prefix_eval.py:50-115) in fixed-shape XLA form:
+  * log-softmax scores; length-normalized flat top-k over beam*vocab
+    with integer div/mod recovery of (source beam, token)
+  * stopped beams pinned: all candidates -inf except token 0 at logp 0,
+    so a stopped beam survives with frozen score and length
+  * seq_lengths increment only for alive beams; selected score is
+    re-multiplied by the gathered length (`scores = avg * len`)
+  * stop token '.' (id 13 in GPT-2), 67-step cap, final ranking by
+    scores / seq_lengths descending
+  * the reference's `break` when all beams stop becomes the while-loop
+    condition — identical results, no wasted steps
+
+Where the reference re-forwards the whole growing sequence every step with
+no KV cache for ONE image at a time, this engine decodes a *batch* of
+images × beams against split KV caches (shared prefix rows per image,
+per-beam generated rows; see models/gpt2.py) inside one jitted
+`lax.while_loop`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models import gpt2
+from ..utils.tokenizer import GPT2_DOT_TOKEN
+
+NEG = jnp.float32(-1e30)
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamConfig:
+    beam_size: int = 5
+    entry_length: int = 67
+    temperature: float = 1.0
+    stop_token: int = GPT2_DOT_TOKEN
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
+                      prefix_embeds: jnp.ndarray):
+    N, K, D = prefix_embeds.shape
+    R, E, V = bc.beam_size, bc.entry_length, cfg.vocab_size
+
+    logits0, prefix_cache = gpt2.prefill(params, cfg, prefix_embeds)
+    if bc.temperature > 0 and bc.temperature != 1.0:
+        logits0 = logits0 / bc.temperature
+    logp0 = jax.nn.log_softmax(logits0.astype(jnp.float32), axis=-1)
+
+    # Step 0 (reference "scores is None" branch): per-image top-R.
+    scores, toks0 = lax.top_k(logp0, R)             # [N, R]
+    tokens = jnp.zeros((N, R, E), jnp.int32)
+    tokens = tokens.at[:, :, 0].set(toks0)
+    seq_lengths = jnp.ones((N, R), jnp.float32)
+    is_stopped = toks0 == bc.stop_token
+
+    gen_cache = gpt2.init_gen_cache(cfg, N * R, E)
+    cur = gpt2.embed_tokens(params, toks0.reshape(N * R))  # [B, D]
+
+    def cond(carry):
+        i, _, _, _, stopped, _, _ = carry
+        return jnp.logical_and(i < E, jnp.logical_not(jnp.all(stopped)))
+
+    def body(carry):
+        i, tokens, scores, seq_lengths, is_stopped, cur, gen_cache = carry
+        logits, gen_cache = gpt2.decode_step(params, cfg, cur, prefix_cache,
+                                             gen_cache, i - 1)
+        if bc.temperature > 0 and bc.temperature != 1.0:
+            logits = logits / bc.temperature
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logp = logp.reshape(N, R, V)
+        # stopped-beam pinning (reference :90-91)
+        logp = jnp.where(is_stopped[:, :, None], NEG, logp)
+        logp = logp.at[:, :, 0].set(
+            jnp.where(is_stopped, 0.0, logp[:, :, 0]))
+        scores_sum = scores[:, :, None] + logp
+        seq_lengths = seq_lengths + (~is_stopped).astype(jnp.float32)
+        avg = scores_sum / seq_lengths[:, :, None]
+        top_avg, flat_idx = lax.top_k(avg.reshape(N, R * V), R)  # [N, R]
+        src = flat_idx // V
+        nxt = flat_idx % V
+        take = lambda a: jnp.take_along_axis(a, src, axis=1)
+        seq_lengths = take(seq_lengths)
+        is_stopped = take(is_stopped)
+        scores = top_avg * seq_lengths
+        tokens = jnp.take_along_axis(tokens, src[:, :, None], axis=1)
+        tokens = tokens.at[:, :, i].set(nxt)
+        # reorder per-beam generated cache rows (prefix rows untouched)
+        global_src = (jnp.arange(N)[:, None] * R + src).reshape(-1)
+        gen_cache = gpt2.reorder_kv_cache(gen_cache, global_src)
+        is_stopped = jnp.logical_or(is_stopped, nxt == bc.stop_token)
+        cur = gpt2.embed_tokens(params, nxt.reshape(N * R))
+        return (i + 1, tokens, scores, seq_lengths, is_stopped, cur, gen_cache)
+
+    carry = (jnp.asarray(1, jnp.int32), tokens, scores, seq_lengths,
+             is_stopped, cur, gen_cache)
+    _, tokens, scores, seq_lengths, is_stopped, _, _ = lax.while_loop(
+        cond, body, carry)
+
+    final_scores = scores / seq_lengths
+    order = jnp.argsort(-final_scores, axis=1)
+    return tokens, seq_lengths, final_scores, order
+
+
+def beam_search(params: Any, cfg: gpt2.GPT2Config, prefix_embeds: jnp.ndarray,
+                bc: BeamConfig = BeamConfig()
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode a batch of prefix embeddings [N, K, D].
+
+    Returns (tokens [N,R,E], seq_lengths [N,R], scores [N,R], order [N,R])
+    where `order` ranks beams by length-normalized score descending.
+    """
+    return _beam_search_impl(params, cfg, bc, prefix_embeds)
+
+
+def beam_texts(tokenizer, tokens, seq_lengths, order) -> List[List[str]]:
+    """Host-side finalization: decode each image's beams in ranked order
+    (reference gpt2_prefix_eval.py:110-115)."""
+    import numpy as np
+    tokens = np.asarray(tokens)
+    seq_lengths = np.asarray(seq_lengths)
+    order = np.asarray(order)
+    out = []
+    for n in range(tokens.shape[0]):
+        texts = [tokenizer.decode(tokens[n, r, :int(seq_lengths[n, r])])
+                 for r in range(tokens.shape[1])]
+        out.append([texts[r] for r in order[n]])
+    return out

@@ -1,0 +1,122 @@
+"""Top-p (nucleus) filtered decoding — reference `generate2` parity.
+
+The reference (gpt2_prefix_eval.py:118-198) nucleus-filters at top_p=0.8
+then takes **argmax** (the multinomial draw is commented out, :177-178), so
+its generate2 is exactly greedy decoding — the filter can never remove the
+argmax token. We keep that contract as the default (`sample=False`,
+fast path skips the sort entirely) and additionally support true nucleus
+*sampling* with a PRNG key, which the reference scaffolded but never
+enabled.
+
+Stop rule parity: stop token '.' (13) or the hardcoded 764 (' .')
+(reference :187), stop token included in the output, 67-step cap.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models import gpt2
+from ..utils.tokenizer import GPT2_DOT_TOKEN, GPT2_SPACE_DOT_TOKEN
+
+
+@dataclasses.dataclass(frozen=True)
+class ToppConfig:
+    entry_length: int = 67
+    top_p: float = 0.8
+    temperature: float = 1.0
+    stop_token: int = GPT2_DOT_TOKEN
+    extra_stop_token: int = GPT2_SPACE_DOT_TOKEN
+    sample: bool = False
+
+
+def nucleus_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Mask logits outside the smallest set with cumulative prob > top_p.
+    Reference semantics (:166-175): sort desc, cumsum softmax, shift the
+    removal mask right by one so the top token always survives."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    remove_sorted = cum > top_p
+    remove_sorted = jnp.concatenate(
+        [jnp.zeros_like(remove_sorted[..., :1]), remove_sorted[..., :-1]],
+        axis=-1)
+    # threshold value per row: smallest kept logit
+    kept = jnp.where(remove_sorted, -jnp.inf, sorted_logits)
+    threshold = jnp.min(jnp.where(jnp.isfinite(kept), kept, jnp.inf),
+                        axis=-1, keepdims=True)
+    return jnp.where(logits < threshold, -jnp.inf, logits)
+
+
+def _pick(logits, tc: ToppConfig, key):
+    if tc.temperature > 0 and tc.temperature != 1.0:
+        logits = logits / tc.temperature
+    if tc.sample:
+        filtered = nucleus_filter(logits.astype(jnp.float32), tc.top_p)
+        return jax.random.categorical(key, filtered, axis=-1)
+    # argmax of the nucleus-filtered logits == plain argmax.
+    return jnp.argmax(logits, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
+                 prefix_embeds: jnp.ndarray, key: jnp.ndarray):
+    N, K, D = prefix_embeds.shape
+    E = tc.entry_length
+
+    logits0, prefix_cache = gpt2.prefill(params, cfg, prefix_embeds)
+    key, k0 = jax.random.split(key)
+    tok0 = _pick(logits0, tc, k0).astype(jnp.int32)
+    tokens = jnp.zeros((N, E), jnp.int32).at[:, 0].set(tok0)
+    stopped = jnp.logical_or(tok0 == tc.stop_token,
+                             tok0 == tc.extra_stop_token)
+    lengths = jnp.ones((N,), jnp.int32)
+    gen_cache = gpt2.init_gen_cache(cfg, N, E)
+    cur = gpt2.embed_tokens(params, tok0)
+
+    def cond(c):
+        i, _, stopped, _, _, _, _ = c
+        return jnp.logical_and(i < E, jnp.logical_not(jnp.all(stopped)))
+
+    def body(c):
+        i, tokens, stopped, lengths, cur, gen_cache, key = c
+        logits, gen_cache = gpt2.decode_step(params, cfg, cur, prefix_cache,
+                                             gen_cache, i - 1)
+        key, kp = jax.random.split(key)
+        nxt = _pick(logits, tc, kp).astype(jnp.int32)
+        alive = jnp.logical_not(stopped)
+        tokens = tokens.at[:, i].set(jnp.where(alive, nxt, 0))
+        lengths = lengths + alive.astype(jnp.int32)
+        stopped = jnp.logical_or(
+            stopped, jnp.logical_and(
+                alive, jnp.logical_or(nxt == tc.stop_token,
+                                      nxt == tc.extra_stop_token)))
+        cur = gpt2.embed_tokens(params, nxt)
+        return (i + 1, tokens, stopped, lengths, cur, gen_cache, key)
+
+    carry = (jnp.asarray(1, jnp.int32), tokens, stopped, lengths, cur,
+             gen_cache, key)
+    _, tokens, stopped, lengths, _, _, _ = lax.while_loop(cond, body, carry)
+    return tokens, lengths
+
+
+def greedy_topp_search(params: Any, cfg: gpt2.GPT2Config,
+                       prefix_embeds: jnp.ndarray,
+                       tc: ToppConfig = ToppConfig(),
+                       key: Optional[jnp.ndarray] = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode a batch of prefixes [N, K, D] → (tokens [N, E], lengths [N])."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return _greedy_impl(params, cfg, tc, prefix_embeds, key)
+
+
+def topp_texts(tokenizer, tokens, lengths) -> List[str]:
+    import numpy as np
+    tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+    return [tokenizer.decode(tokens[n, :int(lengths[n])])
+            for n in range(tokens.shape[0])]

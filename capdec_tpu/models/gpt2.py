@@ -271,6 +271,145 @@ def forward_with_cache(params: Params, cfg: GPT2Config, inputs_embeds: jnp.ndarr
 
 
 # ---------------------------------------------------------------------------
+# Split-cache decode path (beam search)
+#
+# Beams of one image share the prefix positions of the KV cache — beam
+# reordering permutes only *generated* positions. Splitting the cache into a
+# per-image prefix part [L, N, H, K, hd] and a per-beam generated part
+# [L, N*R, H, E, hd] removes the prefix from the per-step beam gather
+# (the dominant HBM traffic of cached beam decode) and shrinks cache memory
+# by ~(R-1)/R * K/(K+E).
+# ---------------------------------------------------------------------------
+
+
+def prefill(params: Params, cfg: GPT2Config, inputs_embeds: jnp.ndarray
+            ) -> Tuple[jnp.ndarray, Params]:
+    """Run the prompt/prefix [N, K, D] once; return (last-position logits
+    [N, V], prefix_cache {k, v: [L, N, H, K, hd]})."""
+    N, K, D = inputs_embeds.shape
+    x = inputs_embeds + params["wpe"][:K]
+    x = x.astype(cfg.compute_dtype)
+    causal = jnp.tril(jnp.ones((K, K), jnp.bool_))
+    bias = jnp.where(causal, 0.0, NEG_INF)[None, None, :, :].astype(jnp.float32)
+
+    def body(carry, layer):
+        h = _layer_norm(carry, layer["ln_1"]["scale"], layer["ln_1"]["bias"],
+                        cfg.layer_norm_epsilon)
+        cdt = cfg.compute_dtype
+        qkv = jnp.dot(h.astype(cdt), layer["attn"]["c_attn_w"].astype(cdt),
+                      preferred_element_type=jnp.float32) + layer["attn"]["c_attn_b"]
+        q, k, v = jnp.split(qkv.astype(cdt), 3, axis=-1)
+        H, hd = cfg.n_head, cfg.head_dim
+        q = q.reshape(N, K, H, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(N, K, H, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(N, K, H, hd).transpose(0, 2, 1, 3)
+        attn = _attention(q, k, v, bias)
+        attn = attn.transpose(0, 2, 1, 3).reshape(N, K, D).astype(cdt)
+        attn = jnp.dot(attn, layer["attn"]["c_proj_w"].astype(cdt),
+                       preferred_element_type=jnp.float32) + layer["attn"]["c_proj_b"]
+        y = carry + attn.astype(carry.dtype)
+        h = _layer_norm(y, layer["ln_2"]["scale"], layer["ln_2"]["bias"],
+                        cfg.layer_norm_epsilon)
+        h = jnp.dot(h.astype(cdt), layer["mlp"]["c_fc_w"].astype(cdt),
+                    preferred_element_type=jnp.float32) + layer["mlp"]["c_fc_b"]
+        h = gelu_new(h).astype(cdt)
+        h = jnp.dot(h, layer["mlp"]["c_proj_w"].astype(cdt),
+                    preferred_element_type=jnp.float32) + layer["mlp"]["c_proj_b"]
+        y = y + h.astype(y.dtype)
+        return y, (k, v)
+
+    x, (pk, pv) = lax.scan(body, x, params["blocks"])
+    logits = _final_logits(params, cfg, x[:, -1:, :])[:, 0]
+    return logits, {"k": pk, "v": pv}
+
+
+def init_gen_cache(cfg: GPT2Config, batch: int, max_new: int,
+                   dtype=None) -> Params:
+    dtype = dtype or cfg.compute_dtype
+    shape = (cfg.n_layer, batch, cfg.n_head, max_new, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def repeat_prefix_cache(prefix_cache: Params, repeats: int) -> Params:
+    """Tile a [L, N, ...] prefix cache to [L, N*R, ...] (unified-cache path)."""
+    return jax.tree.map(
+        lambda a: jnp.repeat(a, repeats, axis=1), prefix_cache)
+
+
+def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
+                prefix_cache: Params, gen_cache: Params,
+                step: jnp.ndarray) -> Tuple[jnp.ndarray, Params]:
+    """One decode step over split caches.
+
+    token_embed: [B, D] embeddings of the tokens decoded at generated
+    position `step` (B = N * R beams; prefix_cache holds N rows). Writes
+    K/V at gen slot `step`, attends over prefix + gen slots <= step, and
+    returns (next-token logits [B, V], updated gen_cache).
+    """
+    B, D = token_embed.shape
+    L, N, H, K, hd = prefix_cache["k"].shape
+    E = gen_cache["k"].shape[3]
+    R = B // N
+    cdt = cfg.compute_dtype
+
+    pos = K + step
+    x = token_embed + params["wpe"][pos]
+    x = x.astype(cdt)[:, None, :]  # [B, 1, D]
+
+    # gen-slot visibility: slot s valid iff s <= step (current slot included).
+    gen_mask = (jnp.arange(E) <= step)[None, None, None, :]  # [1,1,1,E]
+    gen_bias = jnp.where(gen_mask, 0.0, NEG_INF).astype(jnp.float32)
+
+    def body(carry, inputs):
+        layer, pk, pv, gk, gv = inputs
+        h = _layer_norm(carry, layer["ln_1"]["scale"], layer["ln_1"]["bias"],
+                        cfg.layer_norm_epsilon)
+        qkv = jnp.dot(h[:, 0].astype(cdt), layer["attn"]["c_attn_w"].astype(cdt),
+                      preferred_element_type=jnp.float32) + layer["attn"]["c_attn_b"]
+        q, k_new, v_new = jnp.split(qkv.astype(cdt), 3, axis=-1)
+        q = q.reshape(N, R, H, hd)
+        k_new = k_new.reshape(B, H, 1, hd)
+        v_new = v_new.reshape(B, H, 1, hd)
+        gk = lax.dynamic_update_slice(gk, k_new.astype(gk.dtype), (0, 0, step, 0))
+        gv = lax.dynamic_update_slice(gv, v_new.astype(gv.dtype), (0, 0, step, 0))
+
+        # prefix scores: beams broadcast over the shared per-image cache.
+        sp = jnp.einsum("nrhd,nhsd->nrhs", q, pk.astype(cdt),
+                        preferred_element_type=jnp.float32)
+        gkr = gk.reshape(N, R, H, E, hd)
+        sg = jnp.einsum("nrhd,nrhsd->nrhs", q, gkr.astype(cdt),
+                        preferred_element_type=jnp.float32)
+        scale = 1.0 / (hd ** 0.5)
+        scores = jnp.concatenate([sp * scale, sg * scale + gen_bias], axis=-1)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        p_p, p_g = probs[..., :K].astype(cdt), probs[..., K:].astype(cdt)
+        out = jnp.einsum("nrhs,nhsd->nrhd", p_p, pv.astype(cdt),
+                         preferred_element_type=jnp.float32)
+        gvr = gv.reshape(N, R, H, E, hd)
+        out = out + jnp.einsum("nrhs,nrhsd->nrhd", p_g, gvr.astype(cdt),
+                               preferred_element_type=jnp.float32)
+        out = out.reshape(B, 1, D).astype(cdt)
+        out = jnp.dot(out[:, 0], layer["attn"]["c_proj_w"].astype(cdt),
+                      preferred_element_type=jnp.float32) + layer["attn"]["c_proj_b"]
+        y = carry + out[:, None, :].astype(carry.dtype)
+        h = _layer_norm(y, layer["ln_2"]["scale"], layer["ln_2"]["bias"],
+                        cfg.layer_norm_epsilon)
+        h = jnp.dot(h[:, 0].astype(cdt), layer["mlp"]["c_fc_w"].astype(cdt),
+                    preferred_element_type=jnp.float32) + layer["mlp"]["c_fc_b"]
+        h = gelu_new(h).astype(cdt)
+        h = jnp.dot(h, layer["mlp"]["c_proj_w"].astype(cdt),
+                    preferred_element_type=jnp.float32) + layer["mlp"]["c_proj_b"]
+        y = y + h[:, None, :].astype(y.dtype)
+        return y, (gk, gv)
+
+    x, (new_gk, new_gv) = lax.scan(
+        body, x, (params["blocks"], prefix_cache["k"], prefix_cache["v"],
+                  gen_cache["k"], gen_cache["v"]))
+    logits = _final_logits(params, cfg, x)[:, 0]
+    return logits, {"k": new_gk, "v": new_gv}
+
+
+# ---------------------------------------------------------------------------
 # HuggingFace / torch state_dict conversion
 # ---------------------------------------------------------------------------
 
