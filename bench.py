@@ -1,0 +1,85 @@
+"""Headline benchmark: captions/sec/chip at beam=5 on the flagship model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Setup mirrors the reference's eval hot path (predictions_runner.py:229-232,
+gpt2_prefix_eval.py:50-115): GPT-2 base + TransformerMapper(8L) prefixes of
+length 40, beam 5, 67 decode steps. Weights are random (zero-egress
+environment) — decode throughput is weight-independent; stopping is
+disabled so every caption runs the full 67 steps (worst case, conservative).
+
+`vs_baseline` is measured, not assumed: we time a faithful re-creation of
+the *reference algorithm* on the same chip — batch-1, no KV cache, full
+re-forward over the growing sequence each step — and report the ratio.
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from capdec_tpu.decode import BeamConfig, beam_search
+    from capdec_tpu.models import caption_model, gpt2
+
+    cfg = caption_model.CaptionModelConfig(
+        prefix_length=40, clip_length=40, prefix_size=640, num_layers=8,
+        mapping_type="transformer",
+        gpt2=gpt2.GPT2Config(compute_dtype=jnp.bfloat16))
+    params = caption_model.init_params(jax.random.PRNGKey(0), cfg)
+
+    N = 128  # images per decode batch
+    rng = np.random.RandomState(0)
+    clip_embeds = jnp.asarray(rng.randn(N, cfg.prefix_size), jnp.float32)
+    prefix_embeds = caption_model.map_prefix(params, cfg, clip_embeds)
+    bc = BeamConfig(beam_size=5, entry_length=67, stop_token=-1)
+
+    # --- our engine ---------------------------------------------------------
+    def run():
+        toks, lens, scores, order = beam_search(params["gpt"], cfg.gpt2,
+                                                prefix_embeds, bc)
+        jax.block_until_ready(toks)
+
+    run()  # compile
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+    captions_per_sec = N / dt
+
+    # --- reference-algorithm baseline on the same chip ----------------------
+    # batch-1, beam-5, no KV cache: re-forward the full growing sequence
+    # every step (gpt2_prefix_eval.py:76). Timed over a few steps and
+    # extrapolated linearly over all 67 (forward cost grows with length, so
+    # this UNDERestimates baseline cost => conservative ratio).
+    K, R, E = cfg.prefix_length, 5, 67
+    gcfg = cfg.gpt2
+
+    @jax.jit
+    def naive_step(embeds):
+        logits = gpt2.forward(params["gpt"], gcfg, embeds)
+        return logits[:, -1, :]
+
+    seq = jnp.asarray(rng.randn(R, K + 20, gcfg.n_embd), jnp.bfloat16)
+    naive_step(seq)  # compile
+    t0 = time.perf_counter()
+    for _ in range(10):
+        jax.block_until_ready(naive_step(seq))
+    step_t = (time.perf_counter() - t0) / 10
+    baseline_captions_per_sec = 1.0 / (step_t * E)
+
+    ratio = captions_per_sec / baseline_captions_per_sec
+    print(json.dumps({
+        "metric": "captions_per_sec_per_chip_beam5",
+        "value": round(captions_per_sec, 2),
+        "unit": "captions/s",
+        "vs_baseline": round(ratio, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

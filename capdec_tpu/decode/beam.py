@@ -74,18 +74,27 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
                                              gen_cache, i - 1)
         if bc.temperature > 0 and bc.temperature != 1.0:
             logits = logits / bc.temperature
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        logp = logp.reshape(N, R, V)
-        # stopped-beam pinning (reference :90-91)
-        logp = jnp.where(is_stopped[:, :, None], NEG, logp)
-        logp = logp.at[:, :, 0].set(
-            jnp.where(is_stopped, 0.0, logp[:, :, 0]))
-        scores_sum = scores[:, :, None] + logp
+        logits = logits.astype(jnp.float32)
+        # Per-beam candidate reduction: adding the per-beam score and
+        # dividing by the per-beam length are monotonic within a beam, so
+        # the global flat top-R over beam*vocab can only select tokens from
+        # each beam's own top-R — an exact (R*R)-candidate shortlist
+        # replaces the reference's full [R*V] topk (:95). Stopped beams
+        # contribute their single pinned candidate (token 0, logp 0, :90-91).
+        lse = jax.nn.logsumexp(logits, axis=-1)              # [B]
+        cand_val, cand_tok = lax.top_k(logits, R)            # [B, R]
+        cand_logp = (cand_val - lse[:, None]).reshape(N, R, R)
+        cand_tok = cand_tok.reshape(N, R, R)
+        cand_logp = jnp.where(is_stopped[:, :, None], NEG, cand_logp)
+        cand_logp = cand_logp.at[:, :, 0].set(
+            jnp.where(is_stopped, 0.0, cand_logp[:, :, 0]))
+        cand_tok = jnp.where(is_stopped[:, :, None], 0, cand_tok)
+        scores_sum = scores[:, :, None] + cand_logp          # [N, R, R]
         seq_lengths = seq_lengths + (~is_stopped).astype(jnp.float32)
         avg = scores_sum / seq_lengths[:, :, None]
-        top_avg, flat_idx = lax.top_k(avg.reshape(N, R * V), R)  # [N, R]
-        src = flat_idx // V
-        nxt = flat_idx % V
+        top_avg, flat_idx = lax.top_k(avg.reshape(N, R * R), R)  # [N, R]
+        src = flat_idx // R
+        nxt = jnp.take_along_axis(cand_tok.reshape(N, R * R), flat_idx, axis=1)
         take = lambda a: jnp.take_along_axis(a, src, axis=1)
         seq_lengths = take(seq_lengths)
         is_stopped = take(is_stopped)

@@ -360,18 +360,27 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
     gen_mask = (jnp.arange(E) <= step)[None, None, None, :]  # [1,1,1,E]
     gen_bias = jnp.where(gen_mask, 0.0, NEG_INF).astype(jnp.float32)
 
+    # The gen cache rides through the scan as *carry* (with a layer counter)
+    # rather than as scanned xs/ys: scan stacks its ys into fresh buffers
+    # every step, which would copy the entire cache per decode step; carry
+    # buffers alias in place across iterations.
     def body(carry, inputs):
-        layer, pk, pv, gk, gv = inputs
-        h = _layer_norm(carry, layer["ln_1"]["scale"], layer["ln_1"]["bias"],
+        x, gk_all, gv_all, li = carry
+        layer, pk, pv = inputs
+        h = _layer_norm(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"],
                         cfg.layer_norm_epsilon)
         qkv = jnp.dot(h[:, 0].astype(cdt), layer["attn"]["c_attn_w"].astype(cdt),
                       preferred_element_type=jnp.float32) + layer["attn"]["c_attn_b"]
         q, k_new, v_new = jnp.split(qkv.astype(cdt), 3, axis=-1)
         q = q.reshape(N, R, H, hd)
-        k_new = k_new.reshape(B, H, 1, hd)
-        v_new = v_new.reshape(B, H, 1, hd)
-        gk = lax.dynamic_update_slice(gk, k_new.astype(gk.dtype), (0, 0, step, 0))
-        gv = lax.dynamic_update_slice(gv, v_new.astype(gv.dtype), (0, 0, step, 0))
+        k_new = k_new.reshape(1, B, H, 1, hd)
+        v_new = v_new.reshape(1, B, H, 1, hd)
+        gk_all = lax.dynamic_update_slice(
+            gk_all, k_new.astype(gk_all.dtype), (li, 0, 0, step, 0))
+        gv_all = lax.dynamic_update_slice(
+            gv_all, v_new.astype(gv_all.dtype), (li, 0, 0, step, 0))
+        gk = lax.dynamic_index_in_dim(gk_all, li, axis=0, keepdims=False)
+        gv = lax.dynamic_index_in_dim(gv_all, li, axis=0, keepdims=False)
 
         # prefix scores: beams broadcast over the shared per-image cache.
         sp = jnp.einsum("nrhd,nhsd->nrhs", q, pk.astype(cdt),
@@ -391,7 +400,7 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
         out = out.reshape(B, 1, D).astype(cdt)
         out = jnp.dot(out[:, 0], layer["attn"]["c_proj_w"].astype(cdt),
                       preferred_element_type=jnp.float32) + layer["attn"]["c_proj_b"]
-        y = carry + out[:, None, :].astype(carry.dtype)
+        y = x + out[:, None, :].astype(x.dtype)
         h = _layer_norm(y, layer["ln_2"]["scale"], layer["ln_2"]["bias"],
                         cfg.layer_norm_epsilon)
         h = jnp.dot(h[:, 0].astype(cdt), layer["mlp"]["c_fc_w"].astype(cdt),
@@ -400,11 +409,11 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
         h = jnp.dot(h, layer["mlp"]["c_proj_w"].astype(cdt),
                     preferred_element_type=jnp.float32) + layer["mlp"]["c_proj_b"]
         y = y + h[:, None, :].astype(y.dtype)
-        return y, (gk, gv)
+        return (y, gk_all, gv_all, li + 1), None
 
-    x, (new_gk, new_gv) = lax.scan(
-        body, x, (params["blocks"], prefix_cache["k"], prefix_cache["v"],
-                  gen_cache["k"], gen_cache["v"]))
+    carry = (x, gen_cache["k"], gen_cache["v"], jnp.asarray(0, jnp.int32))
+    (x, new_gk, new_gv, _), _ = lax.scan(
+        body, carry, (params["blocks"], prefix_cache["k"], prefix_cache["v"]))
     logits = _final_logits(params, cfg, x)[:, 0]
     return logits, {"k": new_gk, "v": new_gv}
 
