@@ -356,47 +356,53 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
     x = token_embed + params["wpe"][pos]
     x = x.astype(cdt)[:, None, :]  # [B, 1, D]
 
-    # gen-slot visibility: slot s valid iff s <= step (current slot included).
-    gen_mask = (jnp.arange(E) <= step)[None, None, None, :]  # [1,1,1,E]
+    # Past-slot visibility: slot s valid iff s < step (strictly). The
+    # current token's K/V never touch the big cache inside the layer scan —
+    # its self-attention contribution is added as one extra score column.
+    # The per-layer new K/V are collected as *small* scan outputs
+    # ([L, B, H, hd]) and written into the cache with a single slim
+    # dynamic_update_slice after the scan; updating the full cache inside
+    # the scan defeats XLA's in-place buffer aliasing and copies ~GBs per
+    # decode step (measured via jax.profiler).
+    gen_mask = (jnp.arange(E) < step)[None, None, None, :]  # [1,1,1,E]
     gen_bias = jnp.where(gen_mask, 0.0, NEG_INF).astype(jnp.float32)
+    scale = 1.0 / (hd ** 0.5)
 
-    # The gen cache rides through the scan as *carry* (with a layer counter)
-    # rather than as scanned xs/ys: scan stacks its ys into fresh buffers
-    # every step, which would copy the entire cache per decode step; carry
-    # buffers alias in place across iterations.
-    def body(carry, inputs):
-        x, gk_all, gv_all, li = carry
-        layer, pk, pv = inputs
+    def body(x, inputs):
+        layer, pk, pv, gk, gv = inputs
         h = _layer_norm(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"],
                         cfg.layer_norm_epsilon)
         qkv = jnp.dot(h[:, 0].astype(cdt), layer["attn"]["c_attn_w"].astype(cdt),
                       preferred_element_type=jnp.float32) + layer["attn"]["c_attn_b"]
         q, k_new, v_new = jnp.split(qkv.astype(cdt), 3, axis=-1)
-        q = q.reshape(N, R, H, hd)
-        k_new = k_new.reshape(1, B, H, 1, hd)
-        v_new = v_new.reshape(1, B, H, 1, hd)
-        gk_all = lax.dynamic_update_slice(
-            gk_all, k_new.astype(gk_all.dtype), (li, 0, 0, step, 0))
-        gv_all = lax.dynamic_update_slice(
-            gv_all, v_new.astype(gv_all.dtype), (li, 0, 0, step, 0))
-        gk = lax.dynamic_index_in_dim(gk_all, li, axis=0, keepdims=False)
-        gv = lax.dynamic_index_in_dim(gv_all, li, axis=0, keepdims=False)
+        qf = q.reshape(B, H, hd)
+        k_new = k_new.reshape(B, H, hd)
+        v_new = v_new.reshape(B, H, hd)
 
-        # prefix scores: beams broadcast over the shared per-image cache.
-        sp = jnp.einsum("nrhd,nhsd->nrhs", q, pk.astype(cdt),
+        # prefix scores: beams broadcast over the shared per-image rows.
+        sp = jnp.einsum("nrhd,nhsd->nrhs", qf.reshape(N, R, H, hd),
+                        pk.astype(cdt), preferred_element_type=jnp.float32)
+        sp = sp.reshape(B, H, K)
+        # generated-slot scores: flat per-beam batched matvec.
+        sg = jnp.einsum("bhd,bhsd->bhs", qf, gk.astype(cdt),
                         preferred_element_type=jnp.float32)
-        gkr = gk.reshape(N, R, H, E, hd)
-        sg = jnp.einsum("nrhd,nrhsd->nrhs", q, gkr.astype(cdt),
-                        preferred_element_type=jnp.float32)
-        scale = 1.0 / (hd ** 0.5)
-        scores = jnp.concatenate([sp * scale, sg * scale + gen_bias], axis=-1)
+        # current token attends to itself: one extra column.
+        sc = jnp.einsum("bhd,bhd->bh", qf, k_new,
+                        preferred_element_type=jnp.float32)[..., None]
+        scores = jnp.concatenate(
+            [sp * scale,
+             sg * scale + gen_bias.reshape(1, 1, E),
+             sc * scale], axis=-1)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-        p_p, p_g = probs[..., :K].astype(cdt), probs[..., K:].astype(cdt)
-        out = jnp.einsum("nrhs,nhsd->nrhd", p_p, pv.astype(cdt),
-                         preferred_element_type=jnp.float32)
-        gvr = gv.reshape(N, R, H, E, hd)
-        out = out + jnp.einsum("nrhs,nrhsd->nrhd", p_g, gvr.astype(cdt),
+        p_p = probs[..., :K].astype(cdt)
+        p_g = probs[..., K:K + E].astype(cdt)
+        p_c = probs[..., K + E:].astype(cdt)
+        out = jnp.einsum("nrhs,nhsd->nrhd", p_p.reshape(N, R, H, K),
+                         pv.astype(cdt),
+                         preferred_element_type=jnp.float32).reshape(B, H, hd)
+        out = out + jnp.einsum("bhs,bhsd->bhd", p_g, gv.astype(cdt),
                                preferred_element_type=jnp.float32)
+        out = out + p_c * v_new
         out = out.reshape(B, 1, D).astype(cdt)
         out = jnp.dot(out[:, 0], layer["attn"]["c_proj_w"].astype(cdt),
                       preferred_element_type=jnp.float32) + layer["attn"]["c_proj_b"]
@@ -409,13 +415,19 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
         h = jnp.dot(h, layer["mlp"]["c_proj_w"].astype(cdt),
                     preferred_element_type=jnp.float32) + layer["mlp"]["c_proj_b"]
         y = y + h[:, None, :].astype(y.dtype)
-        return (y, gk_all, gv_all, li + 1), None
+        return y, (k_new, v_new)
 
-    carry = (x, gen_cache["k"], gen_cache["v"], jnp.asarray(0, jnp.int32))
-    (x, new_gk, new_gv, _), _ = lax.scan(
-        body, carry, (params["blocks"], prefix_cache["k"], prefix_cache["v"]))
+    x, (ks, vs) = lax.scan(
+        body, x, (params["blocks"], prefix_cache["k"], prefix_cache["v"],
+                  gen_cache["k"], gen_cache["v"]))
+    new_k = lax.dynamic_update_slice(
+        gen_cache["k"], ks[:, :, :, None, :].astype(gen_cache["k"].dtype),
+        (0, 0, 0, step, 0))
+    new_v = lax.dynamic_update_slice(
+        gen_cache["v"], vs[:, :, :, None, :].astype(gen_cache["v"].dtype),
+        (0, 0, 0, step, 0))
     logits = _final_logits(params, cfg, x)[:, 0]
-    return logits, {"k": new_gk, "v": new_gv}
+    return logits, {"k": new_k, "v": new_v}
 
 
 # ---------------------------------------------------------------------------
