@@ -285,7 +285,13 @@ def forward_with_cache(params: Params, cfg: GPT2Config, inputs_embeds: jnp.ndarr
 def prefill(params: Params, cfg: GPT2Config, inputs_embeds: jnp.ndarray
             ) -> Tuple[jnp.ndarray, Params]:
     """Run the prompt/prefix [N, K, D] once; return (last-position logits
-    [N, V], prefix_cache {k, v: [L, N, H, K, hd]})."""
+    [N, V], prefix_cache {k, v: [L, N, K, D]}).
+
+    Cache layout note: K/V live as [*, seq, H*hd] — sequence-major over a
+    contiguous 768-lane payload. Decode reads them with VPU
+    multiply+group-reduce (no head-axis transposes), and the generated
+    cache's per-step write is a contiguous dynamic_update_slice.
+    """
     N, K, D = inputs_embeds.shape
     x = inputs_embeds + params["wpe"][:K]
     x = x.astype(cfg.compute_dtype)
@@ -300,10 +306,10 @@ def prefill(params: Params, cfg: GPT2Config, inputs_embeds: jnp.ndarray
                       preferred_element_type=jnp.float32) + layer["attn"]["c_attn_b"]
         q, k, v = jnp.split(qkv.astype(cdt), 3, axis=-1)
         H, hd = cfg.n_head, cfg.head_dim
-        q = q.reshape(N, K, H, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(N, K, H, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(N, K, H, hd).transpose(0, 2, 1, 3)
-        attn = _attention(q, k, v, bias)
+        qh = q.reshape(N, K, H, hd).transpose(0, 2, 1, 3)
+        kh = k.reshape(N, K, H, hd).transpose(0, 2, 1, 3)
+        vh = v.reshape(N, K, H, hd).transpose(0, 2, 1, 3)
+        attn = _attention(qh, kh, vh, bias)
         attn = attn.transpose(0, 2, 1, 3).reshape(N, K, D).astype(cdt)
         attn = jnp.dot(attn, layer["attn"]["c_proj_w"].astype(cdt),
                        preferred_element_type=jnp.float32) + layer["attn"]["c_proj_b"]
@@ -316,7 +322,7 @@ def prefill(params: Params, cfg: GPT2Config, inputs_embeds: jnp.ndarray
         h = jnp.dot(h, layer["mlp"]["c_proj_w"].astype(cdt),
                     preferred_element_type=jnp.float32) + layer["mlp"]["c_proj_b"]
         y = y + h.astype(y.dtype)
-        return y, (k, v)
+        return y, (k, v)  # seq-major [N, K, D]
 
     x, (pk, pv) = lax.scan(body, x, params["blocks"])
     logits = _final_logits(params, cfg, x[:, -1:, :])[:, 0]
@@ -326,7 +332,7 @@ def prefill(params: Params, cfg: GPT2Config, inputs_embeds: jnp.ndarray
 def init_gen_cache(cfg: GPT2Config, batch: int, max_new: int,
                    dtype=None) -> Params:
     dtype = dtype or cfg.compute_dtype
-    shape = (cfg.n_layer, batch, cfg.n_head, max_new, cfg.head_dim)
+    shape = (cfg.n_layer, batch, max_new, cfg.n_embd)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -345,11 +351,18 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
     position `step` (B = N * R beams; prefix_cache holds N rows). Writes
     K/V at gen slot `step`, attends over prefix + gen slots <= step, and
     returns (next-token logits [B, V], updated gen_cache).
+
+    Attention here is deliberately matmul-free: with seq-major [*, S, 768]
+    caches, per-head scores/outputs are elementwise multiplies + 64-lane
+    group reductions on the VPU. This keeps the cache in its storage layout
+    end to end — a head-major batched matmul would make XLA transpose-copy
+    the whole cache every step (measured via jax.profiler).
     """
     B, D = token_embed.shape
-    L, N, H, K, hd = prefix_cache["k"].shape
-    E = gen_cache["k"].shape[3]
+    L, N, K, _ = prefix_cache["k"].shape
+    E = gen_cache["k"].shape[2]
     R = B // N
+    H, hd = cfg.n_head, cfg.head_dim
     cdt = cfg.compute_dtype
 
     pos = K + step
@@ -358,15 +371,23 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
 
     # Past-slot visibility: slot s valid iff s < step (strictly). The
     # current token's K/V never touch the big cache inside the layer scan —
-    # its self-attention contribution is added as one extra score column.
-    # The per-layer new K/V are collected as *small* scan outputs
-    # ([L, B, H, hd]) and written into the cache with a single slim
-    # dynamic_update_slice after the scan; updating the full cache inside
-    # the scan defeats XLA's in-place buffer aliasing and copies ~GBs per
-    # decode step (measured via jax.profiler).
-    gen_mask = (jnp.arange(E) < step)[None, None, None, :]  # [1,1,1,E]
-    gen_bias = jnp.where(gen_mask, 0.0, NEG_INF).astype(jnp.float32)
+    # its self-attention contribution is one extra score column. Per-layer
+    # new K/V are collected as *small* scan outputs ([L, B, D]) and written
+    # with a single contiguous dynamic_update_slice after the scan;
+    # updating the full cache inside the scan defeats XLA's in-place buffer
+    # aliasing and copies ~GBs per decode step (measured via jax.profiler).
+    gen_bias = jnp.where(jnp.arange(E) < step, 0.0, NEG_INF
+                         ).astype(jnp.float32)          # [E]
     scale = 1.0 / (hd ** 0.5)
+
+    def heads(prod):
+        """Group-reduce the 768-lane payload into per-head sums.
+        prod: [..., D] -> [..., H] (sum over each head's 64 lanes)."""
+        return jnp.sum(prod.reshape(prod.shape[:-1] + (H, hd)), axis=-1)
+
+    def spread(p):
+        """Inverse of `heads` for probabilities: [..., H] -> [..., D]."""
+        return jnp.repeat(p, hd, axis=-1)
 
     def body(x, inputs):
         layer, pk, pv, gk, gv = inputs
@@ -374,37 +395,28 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                         cfg.layer_norm_epsilon)
         qkv = jnp.dot(h[:, 0].astype(cdt), layer["attn"]["c_attn_w"].astype(cdt),
                       preferred_element_type=jnp.float32) + layer["attn"]["c_attn_b"]
-        q, k_new, v_new = jnp.split(qkv.astype(cdt), 3, axis=-1)
-        qf = q.reshape(B, H, hd)
-        k_new = k_new.reshape(B, H, hd)
-        v_new = v_new.reshape(B, H, hd)
+        q, k_new, v_new = jnp.split(qkv.astype(cdt), 3, axis=-1)  # [B, D]
 
-        # prefix scores: beams broadcast over the shared per-image rows.
-        sp = jnp.einsum("nrhd,nhsd->nrhs", qf.reshape(N, R, H, hd),
-                        pk.astype(cdt), preferred_element_type=jnp.float32)
-        sp = sp.reshape(B, H, K)
-        # generated-slot scores: flat per-beam batched matvec.
-        sg = jnp.einsum("bhd,bhsd->bhs", qf, gk.astype(cdt),
-                        preferred_element_type=jnp.float32)
-        # current token attends to itself: one extra column.
-        sc = jnp.einsum("bhd,bhd->bh", qf, k_new,
-                        preferred_element_type=jnp.float32)[..., None]
+        q_img = q.reshape(N, R, 1, D)
+        # prefix scores [N, R, K, H]: beams share the per-image rows.
+        sp = heads((q_img * pk[:, None, :, :].astype(cdt)).astype(jnp.float32))
+        # generated-slot scores [B, E, H].
+        sg = heads((q[:, None, :] * gk.astype(cdt)).astype(jnp.float32))
+        # current token attends to itself [B, 1, H].
+        sc = heads((q * k_new).astype(jnp.float32))[:, None, :]
         scores = jnp.concatenate(
-            [sp * scale,
-             sg * scale + gen_bias.reshape(1, 1, E),
-             sc * scale], axis=-1)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-        p_p = probs[..., :K].astype(cdt)
-        p_g = probs[..., K:K + E].astype(cdt)
-        p_c = probs[..., K + E:].astype(cdt)
-        out = jnp.einsum("nrhs,nhsd->nrhd", p_p.reshape(N, R, H, K),
-                         pv.astype(cdt),
-                         preferred_element_type=jnp.float32).reshape(B, H, hd)
-        out = out + jnp.einsum("bhs,bhsd->bhd", p_g, gv.astype(cdt),
-                               preferred_element_type=jnp.float32)
+            [sp.reshape(B, K, H) * scale,
+             sg * scale + gen_bias[None, :, None],
+             sc * scale], axis=1)                       # [B, K+E+1, H]
+        probs = jax.nn.softmax(scores, axis=1)
+        p_p = spread(probs[:, :K, :].astype(cdt))        # [B, K, D]
+        p_g = spread(probs[:, K:K + E, :].astype(cdt))   # [B, E, D]
+        p_c = spread(probs[:, K + E, :].astype(cdt))     # [B, D]
+        out = jnp.sum(p_p.reshape(N, R, K, D) * pv[:, None, :, :].astype(cdt),
+                      axis=2).reshape(B, D)
+        out = out + jnp.sum(p_g * gv.astype(cdt), axis=1)
         out = out + p_c * v_new
-        out = out.reshape(B, 1, D).astype(cdt)
-        out = jnp.dot(out[:, 0], layer["attn"]["c_proj_w"].astype(cdt),
+        out = jnp.dot(out.astype(cdt), layer["attn"]["c_proj_w"].astype(cdt),
                       preferred_element_type=jnp.float32) + layer["attn"]["c_proj_b"]
         y = x + out[:, None, :].astype(x.dtype)
         h = _layer_norm(y, layer["ln_2"]["scale"], layer["ln_2"]["bias"],
@@ -421,11 +433,11 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
         body, x, (params["blocks"], prefix_cache["k"], prefix_cache["v"],
                   gen_cache["k"], gen_cache["v"]))
     new_k = lax.dynamic_update_slice(
-        gen_cache["k"], ks[:, :, :, None, :].astype(gen_cache["k"].dtype),
-        (0, 0, 0, step, 0))
+        gen_cache["k"], ks[:, :, None, :].astype(gen_cache["k"].dtype),
+        (0, 0, step, 0))
     new_v = lax.dynamic_update_slice(
-        gen_cache["v"], vs[:, :, :, None, :].astype(gen_cache["v"].dtype),
-        (0, 0, 0, step, 0))
+        gen_cache["v"], vs[:, :, None, :].astype(gen_cache["v"].dtype),
+        (0, 0, step, 0))
     logits = _final_logits(params, cfg, x)[:, 0]
     return logits, {"k": new_k, "v": new_v}
 

@@ -1,0 +1,176 @@
+"""Pallas TPU kernel: fused beam-decode attention over split KV caches.
+
+One decode step of one transformer layer, fully fused:
+    scores = q · [prefix_cache | gen_cache(slots < step) | k_new] per head
+    probs  = softmax(scores)
+    out    = probs · [prefix_v | gen_v | v_new]
+    gen_cache[:, step] = (k_new, v_new)          (in-place, aliased buffers)
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+  * Caches are seq-major [rows, S, H*hd=768]: the 768-lane payload is the
+    hardware-friendly lane dimension (6×128), and the per-step cache write
+    is one contiguous [TB, 1, 768] block whose out-spec index_map is
+    driven by the scalar-prefetched `step` — only the written slot leaves
+    VMEM, the rest of the aliased buffer is untouched.
+  * Per-head score/output reductions are matmuls against a constant 0/1
+    "head grouping" matrix G [768, 128] (G[d, h]=1 iff d//64==h): the MXU
+    does the segmented reduction and its transpose broadcast, avoiding
+    sublane-hostile 3-D reshapes on the VPU.
+  * Softmax runs on [TB, S, 128] where the 116 dead lanes carry zeros —
+    each lane is an independent softmax, junk lanes are dropped by G^T.
+  * The prefix cache is shared per image: its block is repeated
+    `beams_per_image` times inside VMEM, never in HBM.
+
+The pure-XLA equivalent lives in models/gpt2.decode_step; `interpret=True`
+makes this kernel runnable on CPU for tests.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _head_matrix(n_embd: int, head_dim: int, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """G [D, 128]: G[d, h] = 1 iff h == d // head_dim (h < n_heads)."""
+    d = np.arange(n_embd)
+    g = np.zeros((n_embd, 128), np.float32)
+    g[d, d // head_dim] = 1.0
+    return jnp.asarray(g, dtype)
+
+
+def _kernel(step_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref, gv_ref,
+            g_ref, out_ref, gk_out_ref, gv_out_ref, *, beams_per_image: int,
+            head_dim: int, scale: float):
+    TB, _, D = q_ref.shape
+    TI, K, _ = pk_ref.shape
+    E = gk_ref.shape[1]  # gk_ref: [TB, E, 1, D]
+    R = beams_per_image
+    step = step_ref[0]
+
+    g = g_ref[:]                                    # [D, 128] bf16
+    q = q_ref[:, 0, :]                              # [TB, D]
+    k_new = kn_ref[:, 0, :]
+    v_new = vn_ref[:, 0, :]
+
+    # ---- in-place cache write: only the current slot leaves VMEM --------
+    gk_out_ref[:, 0, 0, :] = k_new.astype(gk_out_ref.dtype)
+    gv_out_ref[:, 0, 0, :] = v_new.astype(gv_out_ref.dtype)
+
+    # ---- scores ---------------------------------------------------------
+    def heads(x2d):  # [S, D] -> [S, 128] per-head sums via MXU
+        return jax.lax.dot_general(
+            x2d.astype(jnp.bfloat16), g,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # current-token column [TB, 128]
+    sc = heads(q * k_new) * scale
+
+    # generated slots [TB, E, 128]
+    prod_g = (gk_ref[:, :, 0, :].astype(jnp.bfloat16)
+              * q[:, None, :].astype(jnp.bfloat16))
+    sg = heads(prod_g.reshape(TB * E, D)).reshape(TB, E, 128) * scale
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, E, 1), 1)
+    sg = jnp.where(slot_ids < step, sg, NEG_INF)
+
+    # prefix slots [TB, K, 128] — repeat each image's rows across its beams
+    pk_rep = jnp.repeat(pk_ref[:], R, axis=0)       # [TB, K, D]
+    pv_rep = jnp.repeat(pv_ref[:], R, axis=0)
+    prod_p = pk_rep.astype(jnp.bfloat16) * q[:, None, :].astype(jnp.bfloat16)
+    sp = heads(prod_p.reshape(TB * K, D)).reshape(TB, K, 128) * scale
+
+    scores = jnp.concatenate([sp, sg, sc[:, None, :]], axis=1)  # [TB,S,128]
+
+    # ---- softmax over slots (axis 1); each lane independent -------------
+    m = jnp.max(scores, axis=1, keepdims=True)
+    e = jnp.exp(scores - m)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    probs = e / denom
+
+    # ---- output: spread probs back over lanes and reduce over slots -----
+    def spread(p):  # [S', 128] -> [S', D]
+        return jax.lax.dot_general(
+            p.astype(jnp.bfloat16), g,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    S_total = K + E + 1
+    p_all = spread(probs.reshape(TB * S_total, 128)).reshape(TB, S_total, D)
+    out = jnp.sum(p_all[:, :K, :] * pv_rep.astype(jnp.bfloat16),
+                  axis=1, dtype=jnp.float32)
+    out = out + jnp.sum(p_all[:, K:K + E, :]
+                        * gv_ref[:, :, 0, :].astype(jnp.bfloat16),
+                        axis=1, dtype=jnp.float32)
+    out = out + p_all[:, K + E, :].astype(jnp.float32) * v_new.astype(jnp.float32)
+    out_ref[:, 0, :] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("beams_per_image", "head_dim",
+                                    "block_beams", "interpret"))
+def beam_decode_attention(q: jnp.ndarray, k_new: jnp.ndarray,
+                          v_new: jnp.ndarray, pk: jnp.ndarray,
+                          pv: jnp.ndarray, gk: jnp.ndarray, gv: jnp.ndarray,
+                          step: jnp.ndarray, *, beams_per_image: int,
+                          head_dim: int, block_beams: int = 20,
+                          interpret: bool = False
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused decode attention.
+
+    q/k_new/v_new: [B, D]; pk/pv: [N, K, D]; gk/gv: [B, E, D] (donated —
+    returned updated); step: int32 scalar array.
+    Returns (attn_out [B, D] f32, gk', gv').
+    """
+    B, D = q.shape
+    N, K, _ = pk.shape
+    E = gk.shape[1]
+    R = beams_per_image
+    TB = min(block_beams, B)
+    while B % TB or TB % R:
+        TB -= 1
+    TI = TB // R
+    grid = (B // TB,)
+    g = _head_matrix(D, head_dim)
+    scale = 1.0 / (head_dim ** 0.5)
+
+    kernel = functools.partial(_kernel, beams_per_image=R,
+                               head_dim=head_dim, scale=scale)
+    out, gk2, gv2 = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TB, 1, D), lambda i, s: (i, 0, 0)),
+                pl.BlockSpec((TB, 1, D), lambda i, s: (i, 0, 0)),
+                pl.BlockSpec((TB, 1, D), lambda i, s: (i, 0, 0)),
+                pl.BlockSpec((TI, K, D), lambda i, s: (i, 0, 0)),
+                pl.BlockSpec((TI, K, D), lambda i, s: (i, 0, 0)),
+                pl.BlockSpec((TB, E, 1, D), lambda i, s: (i, 0, 0, 0)),
+                pl.BlockSpec((TB, E, 1, D), lambda i, s: (i, 0, 0, 0)),
+                pl.BlockSpec((D, 128), lambda i, s: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((TB, 1, D), lambda i, s: (i, 0, 0)),
+                pl.BlockSpec((TB, 1, 1, D), lambda i, s: (i, s[0], 0, 0)),
+                pl.BlockSpec((TB, 1, 1, D), lambda i, s: (i, s[0], 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, E, 1, D), gk.dtype),
+            jax.ShapeDtypeStruct((B, E, 1, D), gv.dtype),
+        ],
+        input_output_aliases={6: 1, 7: 2},
+        interpret=interpret,
+    )(step.reshape(1), q[:, None, :], k_new[:, None, :], v_new[:, None, :],
+      pk, pv, gk.reshape(B, E, 1, D), gv.reshape(B, E, 1, D), g)
+    return out[:, 0, :], gk2.reshape(B, E, D), gv2.reshape(B, E, D)

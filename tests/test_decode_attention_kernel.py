@@ -1,0 +1,63 @@
+"""Pallas beam-decode-attention kernel vs a plain numpy oracle
+(interpret mode — runs on the CPU backend)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from capdec_tpu.ops.decode_attention import beam_decode_attention
+
+
+def oracle(q, k_new, v_new, pk, pv, gk, gv, step, R, hd):
+    B, D = q.shape
+    N, K, _ = pk.shape
+    E = gk.shape[1]
+    H = D // hd
+    scale = 1.0 / np.sqrt(hd)
+    out = np.zeros((B, D), np.float32)
+    for b in range(B):
+        n = b // R
+        keys = np.concatenate([pk[n], gk[b][:step], k_new[b][None]], axis=0)
+        vals = np.concatenate([pv[n], gv[b][:step], v_new[b][None]], axis=0)
+        S = keys.shape[0]
+        qh = q[b].reshape(H, hd)
+        kh = keys.reshape(S, H, hd)
+        vh = vals.reshape(S, H, hd)
+        scores = np.einsum("hd,shd->sh", qh, kh) * scale
+        scores = scores - scores.max(axis=0, keepdims=True)
+        p = np.exp(scores)
+        p = p / p.sum(axis=0, keepdims=True)
+        out[b] = np.einsum("sh,shd->hd", p, vh).reshape(D)
+    return out
+
+
+@pytest.mark.parametrize("step", [0, 3, 7])
+def test_kernel_matches_oracle(step):
+    rng = np.random.RandomState(step)
+    N, R, K, E, D, hd = 2, 5, 6, 8, 256, 64
+    B = N * R
+    q = rng.randn(B, D).astype(np.float32) * 0.3
+    k_new = rng.randn(B, D).astype(np.float32) * 0.3
+    v_new = rng.randn(B, D).astype(np.float32) * 0.3
+    pk = rng.randn(N, K, D).astype(np.float32) * 0.3
+    pv = rng.randn(N, K, D).astype(np.float32) * 0.3
+    gk = rng.randn(B, E, D).astype(np.float32) * 0.3
+    gv = rng.randn(B, E, D).astype(np.float32) * 0.3
+    gk[:, step:] = 0.0  # slots >= step not yet written
+    gv[:, step:] = 0.0
+
+    out, gk2, gv2 = beam_decode_attention(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(pk), jnp.asarray(pv), jnp.asarray(gk), jnp.asarray(gv),
+        jnp.asarray(step, jnp.int32), beams_per_image=R, head_dim=hd,
+        block_beams=R, interpret=True)
+
+    ref = oracle(q, k_new, v_new, pk, pv, gk, gv, step, R, hd)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-2, rtol=5e-2)
+
+    # slot write
+    np.testing.assert_allclose(np.asarray(gk2[:, step]), k_new, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(gv2[:, step]), v_new, atol=1e-2)
+    # other slots untouched
+    np.testing.assert_array_equal(np.asarray(gk2[:, :step]), gk[:, :step])
