@@ -17,11 +17,13 @@ import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
 
 def main():
+    from capdec_tpu.utils.jax_setup import setup_jax
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
+
     from capdec_tpu.decode import BeamConfig, beam_search
     from capdec_tpu.models import caption_model, gpt2
 
@@ -31,10 +33,13 @@ def main():
         gpt2=gpt2.GPT2Config(compute_dtype=jnp.bfloat16))
     params = caption_model.init_params(jax.random.PRNGKey(0), cfg)
 
-    N = 128  # images per decode batch
+    N = 64  # images per decode batch
     rng = np.random.RandomState(0)
     clip_embeds = jnp.asarray(rng.randn(N, cfg.prefix_size), jnp.float32)
-    prefix_embeds = caption_model.map_prefix(params, cfg, clip_embeds)
+    map_fn = jax.jit(caption_model.map_prefix, static_argnums=(1,))
+    prefix_embeds = map_fn(params, cfg, clip_embeds)
+    jax.block_until_ready(prefix_embeds)
+    # stop disabled: every caption runs the full 67 steps (worst case).
     bc = BeamConfig(beam_size=5, entry_length=67, stop_token=-1)
 
     # --- our engine ---------------------------------------------------------
@@ -43,7 +48,7 @@ def main():
                                                 prefix_embeds, bc)
         jax.block_until_ready(toks)
 
-    run()  # compile
+    run()  # compile (persistent-cache backed)
     t0 = time.perf_counter()
     iters = 5
     for _ in range(iters):
@@ -53,22 +58,21 @@ def main():
 
     # --- reference-algorithm baseline on the same chip ----------------------
     # batch-1, beam-5, no KV cache: re-forward the full growing sequence
-    # every step (gpt2_prefix_eval.py:76). Timed over a few steps and
-    # extrapolated linearly over all 67 (forward cost grows with length, so
-    # this UNDERestimates baseline cost => conservative ratio).
-    K, R, E = cfg.prefix_length, 5, 67
-    gcfg = cfg.gpt2
+    # every step (gpt2_prefix_eval.py:76) at the mean decode length.
+    # Params are passed as jit args (closure capture would bake 124M
+    # constants into the HLO).
+    E = 67
 
     @jax.jit
-    def naive_step(embeds):
-        logits = gpt2.forward(params["gpt"], gcfg, embeds)
-        return logits[:, -1, :]
+    def naive_step(p, embeds):
+        return gpt2.forward(p, cfg.gpt2, embeds)[:, -1, :]
 
-    seq = jnp.asarray(rng.randn(R, K + 20, gcfg.n_embd), jnp.bfloat16)
-    naive_step(seq)  # compile
+    seq = jnp.asarray(rng.randn(5, cfg.prefix_length + E // 2, 768),
+                      jnp.float32)
+    jax.block_until_ready(naive_step(params["gpt"], seq))  # compile
     t0 = time.perf_counter()
     for _ in range(10):
-        jax.block_until_ready(naive_step(seq))
+        jax.block_until_ready(naive_step(params["gpt"], seq))
     step_t = (time.perf_counter() - t0) / 10
     baseline_captions_per_sec = 1.0 / (step_t * E)
 
