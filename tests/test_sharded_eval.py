@@ -1,0 +1,42 @@
+"""Data-parallel beam decode over a device mesh: sharding the image batch
+across dp devices reproduces single-device results (8 virtual CPU devices).
+Eval fan-out is embarrassingly parallel (SURVEY.md §5 distributed story)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from capdec_tpu.decode import BeamConfig, beam_search
+from capdec_tpu.models import caption_model, gpt2
+from capdec_tpu.parallel import mesh as mesh_lib
+
+TINY = gpt2.GPT2Config(vocab_size=128, n_positions=64, n_embd=32,
+                       n_layer=2, n_head=4)
+
+
+def test_dp_sharded_beam_matches_single_device():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    params = gpt2.init_params(jax.random.PRNGKey(0), TINY)
+    rng = np.random.RandomState(0)
+    N, K = 16, 6
+    prefixes = jnp.asarray(rng.randn(N, K, TINY.n_embd).astype(np.float32) * 0.05)
+    bc = BeamConfig(beam_size=4, entry_length=8, stop_token=-1)
+
+    ref = jax.tree.map(np.asarray, beam_search(params, TINY, prefixes, bc))
+
+    mesh = mesh_lib.make_mesh(dp=8, tp=1)
+    sharded_prefix = jax.device_put(prefixes, NamedSharding(mesh, P("dp")))
+    repl_params = jax.device_put(params, NamedSharding(mesh, P()))
+    got = jax.tree.map(np.asarray,
+                       beam_search(repl_params, TINY, sharded_prefix, bc))
+    ref_toks, ref_lens, ref_scores, ref_order = ref
+    got_toks, got_lens, got_scores, got_order = got
+    # tokens/lengths/order must match exactly; scores only to float eps
+    # (partitioned reductions may reassociate).
+    np.testing.assert_array_equal(got_toks, ref_toks)
+    np.testing.assert_array_equal(got_lens, ref_lens)
+    np.testing.assert_array_equal(got_order, ref_order)
+    np.testing.assert_allclose(got_scores, ref_scores, atol=1e-4, rtol=1e-4)
