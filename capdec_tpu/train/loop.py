@@ -64,8 +64,6 @@ def train(model_cfg: caption_model.CaptionModelConfig,
     mask = caption_model.trainable_mask(params, model_cfg)
     tx = optim_lib.make_optimizer(loop_cfg.lr, loop_cfg.warmup_steps,
                                   total_steps, trainable_mask=mask)
-    schedule = optim_lib.linear_warmup_schedule(
-        loop_cfg.lr, loop_cfg.warmup_steps, total_steps)
 
     if mesh is not None:
         specs = mesh_lib.caption_model_param_specs(params)
@@ -79,37 +77,42 @@ def train(model_cfg: caption_model.CaptionModelConfig,
     eval_step = step_lib.make_eval_step(model_cfg)
 
     metrics = meter_lib.MetricsLogger(
-        os.path.join(loop_cfg.out_dir, "metrics.jsonl"),
-        print_every=loop_cfg.log_every)
+        os.path.join(loop_cfg.out_dir, "metrics.jsonl"), print_every=1)
     meter = meter_lib.ThroughputMeter()
 
     loss_train, loss_val = [], []
     global_step = 0
+    base_key = key  # per-step noise keys are folded in inside the jitted step
     for epoch in range(loop_cfg.epochs):
         print(f">>> Training epoch {epoch} / {loop_cfg.epochs}", flush=True)
-        acc = 0.0
+        # Keep step dispatch free of host syncs: losses stay on device and
+        # are only pulled at logging points / epoch end.
+        pending_losses = []
         nb = 0
         for batch in data_lib.iterate_batches(ds, loop_cfg.batch_size,
                                               seed=loop_cfg.seed, epoch=epoch):
             if batch_shard is not None:
                 batch = {k: jax.device_put(v, batch_shard)
                          for k, v in batch.items()}
-            key, k_noise = jax.random.split(key)
-            state, loss = train_step(state, batch, k_noise)
+            state, loss = train_step(state, batch, base_key)
+            pending_losses.append(loss)
             global_step += 1
             nb += 1
-            loss_f = float(loss)
-            acc += loss_f
             ntok = int(batch["tokens"].shape[0] * batch["tokens"].shape[1])
             meter.update(int(batch["tokens"].shape[0]), ntok)
-            metrics.log(step=global_step, epoch=epoch, loss=loss_f,
-                        lr=float(schedule(global_step)),
-                        **meter.rates())
+            if global_step % loop_cfg.log_every == 0:
+                metrics.log(step=global_step, epoch=epoch,
+                            loss=float(pending_losses[-1]),
+                            lr=optim_lib.linear_warmup_lr_py(
+                                loop_cfg.lr, loop_cfg.warmup_steps,
+                                total_steps, global_step),
+                            **meter.rates())
             if global_step % loop_cfg.latest_every_steps == 0:
                 ckpt_lib.save_caption_checkpoint(
                     state["params"], model_cfg,
                     ckpt_lib.latest_checkpoint_path(loop_cfg.out_dir,
                                                     loop_cfg.prefix))
+        acc = float(jnp.sum(jnp.stack(pending_losses))) if pending_losses else 0.0
         loss_train.append(acc / max(1, nb))
         print("loss_per_epoch_train: ", loss_train, flush=True)
 

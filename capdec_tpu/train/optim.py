@@ -31,6 +31,17 @@ def linear_warmup_schedule(lr: float, warmup_steps: int,
     return schedule
 
 
+def linear_warmup_lr_py(lr: float, warmup_steps: int, total_steps: int,
+                        step: int) -> float:
+    """Pure-python twin of `linear_warmup_schedule` for host-side logging
+    (calling the jnp schedule eagerly dispatches to the device per step)."""
+    if step < warmup_steps:
+        frac = step / max(1.0, warmup_steps)
+    else:
+        frac = (total_steps - step) / max(1.0, total_steps - warmup_steps)
+    return lr * min(max(frac, 0.0), 1.0)
+
+
 def make_optimizer(lr: float, warmup_steps: int, total_steps: int,
                    trainable_mask: Optional[Any] = None,
                    weight_decay: float = 0.0,

@@ -53,7 +53,12 @@ def make_train_step(cfg: caption_model.CaptionModelConfig,
         return caption_model.loss_fn(logits, batch["tokens"], cfg.prefix_length)
 
     def step_fn(state, batch, key):
-        loss, grads = jax.value_and_grad(loss_fn)(state["params"], batch, key)
+        # Fresh per-step noise from one base key — folding happens inside
+        # the compiled program (an eager host-side split per step costs a
+        # full device dispatch on some backends).
+        noise_key = jax.random.fold_in(key, state["step"])
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"], batch,
+                                                  noise_key)
         updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
         return {"params": params, "opt_state": opt_state,
