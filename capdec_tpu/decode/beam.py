@@ -35,6 +35,40 @@ from ..utils.tokenizer import GPT2_DOT_TOKEN
 NEG = jnp.float32(-1e30)
 
 
+def cast_params_for_decode(params, cfg: gpt2.GPT2Config):
+    """One-time cast of the weight pytree to the compute dtype so every
+    decode step reads half the bytes (bf16); a no-op for f32 configs."""
+    if cfg.compute_dtype == jnp.float32:
+        return params
+    return jax.tree.map(lambda a: a.astype(cfg.compute_dtype)
+                        if a.dtype == jnp.float32 else a, params)
+
+
+def exact_top_k_chunked(x: jnp.ndarray, k: int,
+                        chunk: int = 1024) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over the last axis via per-chunk top-k + merge.
+
+    The global top-k is a subset of the union of per-chunk top-ks, so this
+    is exact while sorting only `chunk`-sized pieces — much cheaper than a
+    full-row sort for vocab-sized rows on TPU.
+    """
+    *lead, V = x.shape
+    if V % chunk:
+        pad = chunk - V % chunk
+        x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, pad)],
+                    constant_values=NEG)
+        V = V + pad
+    C = V // chunk
+    xc = x.reshape(*lead, C, chunk)
+    vals, idx = lax.top_k(xc, k)                       # [..., C, k]
+    base = (jnp.arange(C) * chunk)[..., :, None]
+    gidx = (idx + base).reshape(*lead, C * k)
+    vals = vals.reshape(*lead, C * k)
+    top_vals, sel = lax.top_k(vals, k)                 # [..., k]
+    top_idx = jnp.take_along_axis(gidx, sel, axis=-1)
+    return top_vals, top_idx
+
+
 @dataclasses.dataclass(frozen=True)
 class BeamConfig:
     beam_size: int = 5
@@ -49,6 +83,7 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
     N, K, D = prefix_embeds.shape
     R, E, V = bc.beam_size, bc.entry_length, cfg.vocab_size
 
+    params = cast_params_for_decode(params, cfg)
     logits0, prefix_cache = gpt2.prefill(params, cfg, prefix_embeds)
     if bc.temperature > 0 and bc.temperature != 1.0:
         logits0 = logits0 / bc.temperature
@@ -82,7 +117,7 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
         # replaces the reference's full [R*V] topk (:95). Stopped beams
         # contribute their single pinned candidate (token 0, logp 0, :90-91).
         lse = jax.nn.logsumexp(logits, axis=-1)              # [B]
-        cand_val, cand_tok = lax.top_k(logits, R)            # [B, R]
+        cand_val, cand_tok = exact_top_k_chunked(logits, R)  # [B, R]
         cand_logp = (cand_val - lse[:, None]).reshape(N, R, R)
         cand_tok = cand_tok.reshape(N, R, R)
         cand_logp = jnp.where(is_stopped[:, :, None], NEG, cand_logp)
