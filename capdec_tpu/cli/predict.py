@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--not_rn', dest='is_rn', action='store_false')
     p.add_argument('--dont_normalize_prefix', action='store_true', default=False)
     p.add_argument('--text_autoencoder', action='store_true', default=False)
+    p.add_argument('--ablation_dist', action='store_true', default=False,
+                   help='paraphrase-distance stats (use with dataset_mode 5)')
+    p.add_argument('--ablation_image_dist', action='store_true', default=False,
+                   help='image-text embedding L2 gap stat')
     p.add_argument('--add_modality_offset', action='store_true', default=False)
     p.add_argument('--modality_offset_path', default='others/CLIP_embeddings_centers_info.pkl')
     p.add_argument('--prefix_length', type=int, default=40)
@@ -157,11 +161,20 @@ def main(argv=None):
                 clip_params, clip_cfg,
                 image_path_fn_for_mode(args.dataset_mode, images_root))
 
+    text_embed_fn = None
+    if (args.ablation_image_dist and args.clip_checkpoint
+            and not args.embeddings_pickle):
+        from ..utils.clip_tokenizer import CLIPTokenizer
+        text_embed_fn = pred_lib.make_text_embed_fn(clip_params, clip_cfg,
+                                                    CLIPTokenizer())
     pcfg = pred_lib.PredictConfig(
         beam=args.beam, batch_size=args.batch_size,
         dont_normalize_prefix=args.dont_normalize_prefix,
         add_modality_offset=args.add_modality_offset, modality_offset=offset,
-        text_autoencoder=args.text_autoencoder)
+        text_autoencoder=args.text_autoencoder,
+        ablation_dist=args.ablation_dist,
+        ablation_image_dist=args.ablation_image_dist,
+        text_embed_fn=text_embed_fn)
     results = pred_lib.run_predictions(data, embed_fn, params, model_cfg,
                                        tokenizer, pcfg, out_path=out_path,
                                        bridger_fn=bridger_fn)

@@ -129,9 +129,12 @@ def generate_embeddings(annotations_path: str, out_path: str,
                         images_path: str = "NoImgs",
                         image_path_fn: Optional[Callable] = None,
                         fix_gender_imbalance: int = 0,
-                        batch_size: int = 256) -> dict:
+                        batch_size: int = 256,
+                        checkpoint_every: int = 10000) -> dict:
     """End-to-end: annotations JSON → embedding pickle (reference `main`,
-    embeddings_generator.py:48-108, batched + jitted)."""
+    embeddings_generator.py:48-108, batched + jitted). A crash-resilient
+    partial pickle is written every `checkpoint_every` records (reference
+    :96-98 dumps every 10k)."""
     import jax
     import jax.numpy as jnp
     from ..models import clip as clip_lib
@@ -144,9 +147,19 @@ def generate_embeddings(annotations_path: str, out_path: str,
     if add_text_embedding:
         encode = jax.jit(lambda t: clip_lib.encode_text(
             clip_params["text"], clip_cfg.text, jnp.asarray(t)))
-        text_embeds = encode_texts_batched(
-            records, clip_tokenizer, encode,
-            batch_size=batch_size, fix_gender_imbalance=fix_gender_imbalance)
+        done: list = []
+        for start in range(0, len(records), checkpoint_every):
+            part = records[start:start + checkpoint_every]
+            done.append(encode_texts_batched(
+                part, clip_tokenizer, encode,
+                batch_size=batch_size,
+                fix_gender_imbalance=fix_gender_imbalance))
+            if start + checkpoint_every < len(records):
+                write_embedding_pickle(out_path, records[:start + len(part)],
+                                       np.concatenate(done, axis=0), None)
+                print(f"partial pickle written at {start + len(part)}",
+                      flush=True)
+        text_embeds = np.concatenate(done, axis=0) if done else None
     elif images_path != "NoImgs":
         encode = jax.jit(lambda im: clip_lib.encode_image(
             clip_params, clip_cfg, jnp.asarray(im)))

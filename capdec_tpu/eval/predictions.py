@@ -42,6 +42,12 @@ class PredictConfig:
     beam_config: BeamConfig = dataclasses.field(default_factory=BeamConfig)
     topp_config: ToppConfig = dataclasses.field(default_factory=ToppConfig)
     flush_every: int = 99
+    # paraphrase-distance ablation (reference --ablation_dist, needs ~5
+    # captions per image_id) and image↔text gap stat (--ablation_image_dist)
+    ablation_dist: bool = False
+    ablation_dist_ready_at: int = 900
+    ablation_image_dist: bool = False
+    text_embed_fn: Optional[Callable] = None  # for ablation_image_dist
 
 
 def _l2norm(x, axis=-1):
@@ -63,10 +69,14 @@ def run_predictions(records: List[dict],
     import jax
     import jax.numpy as jnp
 
+    from . import ablation
+
     map_fn = jax.jit(caption_model.map_prefix, static_argnums=(1,))
 
     results: List[dict] = []
     timer = Timer()
+    paraphrase_embeds: dict = {}
+    gap = ablation.ImageTextGapTracker()
     B = cfg.batch_size
     for start in range(0, len(records), B):
         chunk = records[start:start + B]
@@ -89,6 +99,18 @@ def run_predictions(records: List[dict],
                     params["gpt"], model_cfg.gpt2, prefix_embeds,
                     cfg.topp_config)
                 texts = topp_texts(tokenizer, toks, lens)
+        if cfg.ablation_dist:
+            pe = np.asarray(prefix_embeds, np.float32)
+            for j, d in enumerate(chunk):
+                paraphrase_embeds.setdefault(d["image_id"], []).append(
+                    (pe[j].reshape(-1), prefix[j].reshape(-1)))
+            if ablation.count_ready(paraphrase_embeds) >= cfg.ablation_dist_ready_at:
+                ablation.calc_distances(paraphrase_embeds)
+                cfg = dataclasses.replace(cfg, ablation_dist=False)
+        if cfg.ablation_image_dist and cfg.text_embed_fn is not None:
+            txt = _l2norm(np.asarray(cfg.text_embed_fn(chunk), np.float32))
+            for j in range(len(chunk)):
+                gap.update(prefix[j], txt[j])
         for d, text in zip(chunk, texts):
             results.append({"caption": text.lower(), "image_id": d["image_id"]})
         if out_path and (start // B) % max(1, cfg.flush_every // B) == 0:
@@ -100,6 +122,10 @@ def run_predictions(records: List[dict],
     if out_path:
         with open(out_path, "w") as f:
             json.dump(results, f)
+    if cfg.ablation_dist and paraphrase_embeds:
+        ablation.calc_distances(paraphrase_embeds, out_file=None)
+    if cfg.ablation_image_dist and gap.counter:
+        gap.report()
     print(f"final: {timer}", flush=True)
     return results
 
