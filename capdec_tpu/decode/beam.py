@@ -75,6 +75,9 @@ class BeamConfig:
     entry_length: int = 67
     temperature: float = 1.0
     stop_token: int = GPT2_DOT_TOKEN
+    # perf knobs (results are identical either way)
+    chunked_top_k: bool = False
+    cast_params: bool = True
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -83,7 +86,8 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
     N, K, D = prefix_embeds.shape
     R, E, V = bc.beam_size, bc.entry_length, cfg.vocab_size
 
-    params = cast_params_for_decode(params, cfg)
+    if bc.cast_params:
+        params = cast_params_for_decode(params, cfg)
     logits0, prefix_cache = gpt2.prefill(params, cfg, prefix_embeds)
     if bc.temperature > 0 and bc.temperature != 1.0:
         logits0 = logits0 / bc.temperature
@@ -117,7 +121,10 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
         # replaces the reference's full [R*V] topk (:95). Stopped beams
         # contribute their single pinned candidate (token 0, logp 0, :90-91).
         lse = jax.nn.logsumexp(logits, axis=-1)              # [B]
-        cand_val, cand_tok = exact_top_k_chunked(logits, R)  # [B, R]
+        if bc.chunked_top_k:
+            cand_val, cand_tok = exact_top_k_chunked(logits, R)
+        else:
+            cand_val, cand_tok = lax.top_k(logits, R)        # [B, R]
         cand_logp = (cand_val - lse[:, None]).reshape(N, R, R)
         cand_tok = cand_tok.reshape(N, R, R)
         cand_logp = jnp.where(is_stopped[:, :, None], NEG, cand_logp)

@@ -159,3 +159,28 @@ def test_nucleus_filter_matches_torch_reference():
     from capdec_tpu.decode.topp import nucleus_filter
     got = np.asarray(nucleus_filter(jnp.asarray(logits_np), top_p))
     np.testing.assert_allclose(got, ref.numpy(), atol=1e-6)
+
+
+def test_exact_top_k_chunked_matches_lax():
+    from capdec_tpu.decode.beam import exact_top_k_chunked
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(7, 50257).astype(np.float32))
+    v1, i1 = jax.lax.top_k(x, 5)
+    v2, i2 = exact_top_k_chunked(x, 5)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_beam_knobs_do_not_change_results(models):
+    _, params, cfg = models
+    prefixes = _random_prefixes(2, 5, SMALL["n_embd"], seed=11)
+    outs = []
+    from capdec_tpu.decode.beam import BeamConfig as BC
+    for chunked in (False, True):
+        bc = BC(beam_size=3, entry_length=9, stop_token=13,
+                chunked_top_k=chunked)
+        outs.append(jax.tree.map(np.asarray,
+                                 beam_search(params, cfg,
+                                             jnp.asarray(prefixes), bc)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][3], outs[1][3])
