@@ -65,9 +65,12 @@ def _pick(logits, tc: ToppConfig, key):
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
                  prefix_embeds: jnp.ndarray, key: jnp.ndarray):
+    from .beam import cast_params_for_decode
+
     N, K, D = prefix_embeds.shape
     E = tc.entry_length
 
+    params = cast_params_for_decode(params, cfg)
     logits0, prefix_cache = gpt2.prefill(params, cfg, prefix_embeds)
     key, k0 = jax.random.split(key)
     tok0 = _pick(logits0, tc, k0).astype(jnp.int32)
