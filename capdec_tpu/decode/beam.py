@@ -170,7 +170,11 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
                 is_stopped.astype(jnp.float32)) > 0.5
             tokens = jnp.einsum("nrs,nse->nre", oh_src,
                                 tokens.astype(jnp.float32)).astype(jnp.int32)
-            gen_cache = _reorder_cache_onehot(gen_cache, oh_src)
+            # the big cache keeps the take/select path: one-hot contraction
+            # needs an [E,D]→[E*D] merge that forces a full-cache relayout
+            # on TPU tiled layouts (measured slower).
+            global_src = (jnp.arange(N)[:, None] * R + src).reshape(-1)
+            gen_cache = gpt2.reorder_kv_cache(gen_cache, global_src)
         else:
             nxt = jnp.take_along_axis(cand_tok.reshape(N, R * R), flat_idx,
                                       axis=1)
