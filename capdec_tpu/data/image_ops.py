@@ -7,7 +7,7 @@ float32 ready for the JAX encoders.
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pickle
 from itertools import combinations
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -24,7 +24,6 @@ Design choices (why this is not a port):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

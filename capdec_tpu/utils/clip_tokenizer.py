@@ -12,7 +12,6 @@ environment — we cannot fetch it).
 """
 from __future__ import annotations
 
-import functools
 import gzip
 import html
 import os

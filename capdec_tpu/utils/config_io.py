@@ -6,7 +6,6 @@ JSON plus `{prefix}{-epoch:03d|_latest}.pt`.
 """
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Any, Dict, Tuple, Union

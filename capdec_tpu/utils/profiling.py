@@ -14,7 +14,7 @@ import gzip
 import json
 import os
 from collections import Counter
-from typing import Dict, Optional
+from typing import Dict
 
 
 @contextlib.contextmanager
