@@ -23,13 +23,14 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, List, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from ..models import gpt2
+from ..ops.cache_reorder import reorder_cache_rows
 from ..utils.tokenizer import GPT2_DOT_TOKEN
 
 NEG = jnp.float32(-1e30)
@@ -95,6 +96,8 @@ class BeamConfig:
     chunked_top_k: bool = False
     cast_params: bool = True
     onehot_gather: bool = True
+    # None = auto: Pallas DMA-gather reorder on TPU, jnp.take elsewhere.
+    pallas_reorder: Optional[bool] = None
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -170,11 +173,15 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
                 is_stopped.astype(jnp.float32)) > 0.5
             tokens = jnp.einsum("nrs,nse->nre", oh_src,
                                 tokens.astype(jnp.float32)).astype(jnp.int32)
-            # the big cache keeps the take/select path: one-hot contraction
-            # needs an [E,D]→[E*D] merge that forces a full-cache relayout
-            # on TPU tiled layouts (measured slower).
+            # Big-cache permutation: XLA's take lowers to ~R full-cache
+            # passes (68% of the step at batch 64) — the Pallas DMA-gather
+            # kernel moves each row exactly once.
             global_src = (jnp.arange(N)[:, None] * R + src).reshape(-1)
-            gen_cache = gpt2.reorder_kv_cache(gen_cache, global_src)
+            if bc.pallas_reorder:
+                gen_cache = reorder_cache_rows(gen_cache["k"],
+                                               gen_cache["v"], global_src)
+            else:
+                gen_cache = gpt2.reorder_kv_cache(gen_cache, global_src)
         else:
             nxt = jnp.take_along_axis(cand_tok.reshape(N, R * R), flat_idx,
                                       axis=1)
@@ -208,6 +215,10 @@ def beam_search(params: Any, cfg: gpt2.GPT2Config, prefix_embeds: jnp.ndarray,
     Returns (tokens [N,R,E], seq_lengths [N,R], scores [N,R], order [N,R])
     where `order` ranks beams by length-normalized score descending.
     """
+    if bc.pallas_reorder is None:
+        on_tpu = jax.default_backend() == "tpu" or any(
+            d.platform == "tpu" for d in jax.devices())
+        bc = dataclasses.replace(bc, pallas_reorder=on_tpu)
     return _beam_search_impl(params, cfg, bc, prefix_embeds)
 
 

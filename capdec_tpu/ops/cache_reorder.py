@@ -1,0 +1,52 @@
+"""Pallas TPU kernel: beam-reorder of the generated KV cache.
+
+`jnp.take(cache, src, axis=1)` — the per-step beam permutation — lowers on
+TPU to compare+select chains that read the cache once per beam candidate
+(~R+1 full-cache passes; measured 13.1 ms/step of a 19.3 ms beam step at
+batch 64). This kernel moves each row exactly once: the *input* BlockSpec's
+index map reads row `src[b]` (scalar-prefetched) while the output writes
+row `b`, so the permutation happens inside the pipeline's DMAs — the kernel
+body is a plain VMEM copy.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _copy_kernel(src_ref, k_in, v_in, k_out, v_out):
+    k_out[:] = k_in[:]
+    v_out[:] = v_in[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def reorder_cache_rows(k: jnp.ndarray, v: jnp.ndarray, src: jnp.ndarray,
+                       interpret: bool = False) -> Dict[str, jnp.ndarray]:
+    """Gather rows of k/v [L, B, E, D] along axis 1 by `src` [B] int32."""
+    L, B, E, D = k.shape
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, B),
+        in_specs=[
+            pl.BlockSpec((1, 1, E, D), lambda l, b, s: (l, s[b], 0, 0)),
+            pl.BlockSpec((1, 1, E, D), lambda l, b, s: (l, s[b], 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, E, D), lambda l, b, s: (l, b, 0, 0)),
+            pl.BlockSpec((1, 1, E, D), lambda l, b, s: (l, b, 0, 0)),
+        ],
+    )
+    k2, v2 = pl.pallas_call(
+        _copy_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        interpret=interpret,
+    )(src.astype(jnp.int32), k, v)
+    return {"k": k2, "v": v2}
