@@ -24,22 +24,28 @@ def _copy_kernel(src_ref, k_in, v_in, k_out, v_out):
     v_out[:] = v_in[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "rows_per_block"))
 def reorder_cache_rows(k: jnp.ndarray, v: jnp.ndarray, src: jnp.ndarray,
-                       interpret: bool = False) -> Dict[str, jnp.ndarray]:
-    """Gather rows of k/v [L, B, E, D] along axis 1 by `src` [B] int32."""
+                       interpret: bool = False,
+                       rows_per_block: int = 1) -> Dict[str, jnp.ndarray]:
+    """Gather rows of k/v [L, B, E, D] along axis 1 by `src` [B] int32.
+
+    Grid is over beam rows; each program moves the row's slices across all
+    L layers in one block ([L, 1, E, D] ≈ 1.2 MB for GPT-2 base), keeping
+    DMAs large and program count low.
+    """
     L, B, E, D = k.shape
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(L, B),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, E, D), lambda l, b, s: (l, s[b], 0, 0)),
-            pl.BlockSpec((1, 1, E, D), lambda l, b, s: (l, s[b], 0, 0)),
+            pl.BlockSpec((L, 1, E, D), lambda b, s: (0, s[b], 0, 0)),
+            pl.BlockSpec((L, 1, E, D), lambda b, s: (0, s[b], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, E, D), lambda l, b, s: (l, b, 0, 0)),
-            pl.BlockSpec((1, 1, E, D), lambda l, b, s: (l, b, 0, 0)),
+            pl.BlockSpec((L, 1, E, D), lambda b, s: (0, b, 0, 0)),
+            pl.BlockSpec((L, 1, E, D), lambda b, s: (0, b, 0, 0)),
         ],
     )
     k2, v2 = pl.pallas_call(
