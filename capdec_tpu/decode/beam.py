@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..models import gpt2
-from ..ops.cache_reorder import reorder_cache_rows
+from ..ops.cache_reorder import reorder_cache_rows, reorder_cache_rows_bounded  # noqa: F401
 from ..utils.tokenizer import GPT2_DOT_TOKEN
 
 NEG = jnp.float32(-1e30)
@@ -178,8 +178,11 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
             # kernel moves each row exactly once.
             global_src = (jnp.arange(N)[:, None] * R + src).reshape(-1)
             if bc.pallas_reorder:
-                gen_cache = reorder_cache_rows(gen_cache["k"],
-                                               gen_cache["v"], global_src)
+                # bounded: only slots [0, i) are occupied at this point;
+                # unoccupied output slots stay uninitialized and decode
+                # attention masks them NaN-safely.
+                gen_cache = reorder_cache_rows_bounded(
+                    gen_cache["k"], gen_cache["v"], global_src, i)
             else:
                 gen_cache = gpt2.reorder_kv_cache(gen_cache, global_src)
         else:

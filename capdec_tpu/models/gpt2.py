@@ -375,8 +375,7 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
     # with a single contiguous dynamic_update_slice after the scan;
     # updating the full cache inside the scan defeats XLA's in-place buffer
     # aliasing and copies ~GBs per decode step (measured via jax.profiler).
-    gen_bias = jnp.where(jnp.arange(E) < step, 0.0, NEG_INF
-                         ).astype(jnp.float32)          # [E]
+    gen_valid = jnp.arange(E) < step                    # [E]
     scale = 1.0 / (hd ** 0.5)
 
     def heads(prod):
@@ -399,21 +398,26 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
         q_img = q.reshape(N, R, 1, D)
         # prefix scores [N, R, K, H]: beams share the per-image rows.
         sp = heads((q_img * pk[:, None, :, :].astype(cdt)).astype(jnp.float32))
-        # generated-slot scores [B, E, H].
+        # generated-slot scores [B, E, H]. Invalid slots (>= step) may hold
+        # arbitrary bits (the bounded reorder skips them), so masking must
+        # be NaN-proof: `where`, never additive bias, and the value-side
+        # products are zeroed through `where` as well (0 * NaN == NaN).
         sg = heads((q[:, None, :] * gk.astype(cdt)).astype(jnp.float32))
+        sg = jnp.where(gen_valid[None, :, None], sg * scale, NEG_INF)
         # current token attends to itself [B, 1, H].
         sc = heads((q * k_new).astype(jnp.float32))[:, None, :]
         scores = jnp.concatenate(
-            [sp.reshape(B, K, H) * scale,
-             sg * scale + gen_bias[None, :, None],
-             sc * scale], axis=1)                       # [B, K+E+1, H]
+            [sp.reshape(B, K, H) * scale, sg, sc * scale],
+            axis=1)                                     # [B, K+E+1, H]
         probs = jax.nn.softmax(scores, axis=1)
         p_p = spread(probs[:, :K, :].astype(cdt))        # [B, K, D]
         p_g = spread(probs[:, K:K + E, :].astype(cdt))   # [B, E, D]
         p_c = spread(probs[:, K + E, :].astype(cdt))     # [B, D]
         out = jnp.sum(p_p.reshape(N, R, K, D) * pv[:, None, :, :].astype(cdt),
                       axis=2).reshape(B, D)
-        out = out + jnp.sum(p_g * gv.astype(cdt), axis=1)
+        out = out + jnp.sum(
+            jnp.where(gen_valid[None, :, None], p_g * gv.astype(cdt), 0.0),
+            axis=1)
         out = out + p_c * v_new
         out = jnp.dot(out.astype(cdt), layer["attn"]["c_proj_w"].astype(cdt),
                       preferred_element_type=jnp.float32) + layer["attn"]["c_proj_b"]

@@ -24,6 +24,81 @@ def _copy_kernel(src_ref, k_in, v_in, k_out, v_out):
     v_out[:] = v_in[:]
 
 
+def _bounded_kernel_factory(E: int, chunk: int):
+    n_chunks = -(-E // chunk)
+
+    def kernel(scalars_ref, k_in, v_in, k_out, v_out, sems):
+        # scalars: [0] = valid-slot count, [1:] = src row per beam
+        b = pl.program_id(0)
+        count = scalars_ref[0]
+        s = scalars_ref[1 + b]
+
+        def dma(c, size, j):
+            src_hbm, dst_hbm = ((k_in, k_out), (v_in, v_out))[j]
+            return pltpu.make_async_copy(
+                src_hbm.at[:, s, pl.ds(c * chunk, size), :],
+                dst_hbm.at[:, b, pl.ds(c * chunk, size), :],
+                sems.at[2 * c + j])
+
+        for c in range(n_chunks):
+            size = min(chunk, E - c * chunk)
+
+            @pl.when(c * chunk < count)
+            def _(c=c, size=size):
+                dma(c, size, 0).start()
+                dma(c, size, 1).start()
+
+        for c in range(n_chunks):
+            size = min(chunk, E - c * chunk)
+
+            @pl.when(c * chunk < count)
+            def _(c=c, size=size):
+                dma(c, size, 0).wait()
+                dma(c, size, 1).wait()
+
+    return kernel, n_chunks
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
+def reorder_cache_rows_bounded(k: jnp.ndarray, v: jnp.ndarray,
+                               src: jnp.ndarray, count: jnp.ndarray,
+                               chunk: int = 16,
+                               interpret: bool = False
+                               ) -> Dict[str, jnp.ndarray]:
+    """Gather rows like `reorder_cache_rows`, but move only slot chunks
+    below `count` (the number of occupied generated slots) — pure HBM→HBM
+    DMAs issued per chunk, skipping unoccupied tail chunks entirely.
+    Slots >= count in the output are UNINITIALIZED; decode attention masks
+    them NaN-safely (models/gpt2.decode_step)."""
+    L, B, E, D = k.shape
+    kernel, n_chunks = _bounded_kernel_factory(E, chunk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((2 * n_chunks,))],
+    )
+    scalars = jnp.concatenate(
+        [count.reshape(1).astype(jnp.int32), src.astype(jnp.int32)])
+    k2, v2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(scalars, k, v)
+    return {"k": k2, "v": v2}
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "rows_per_block"))
 def reorder_cache_rows(k: jnp.ndarray, v: jnp.ndarray, src: jnp.ndarray,
                        interpret: bool = False,
