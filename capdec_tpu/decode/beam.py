@@ -120,10 +120,7 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
     seq_lengths = jnp.ones((N, R), jnp.float32)
     is_stopped = toks0 == bc.stop_token
 
-    # Cache slot dim rounded up to the DMA chunk size (16): Mosaic slices
-    # must be sublane-aligned, and the extra slots are permanently masked.
-    E_cache = -(-E // 16) * 16
-    gen_cache = gpt2.init_gen_cache(cfg, N * R, E_cache)
+    gen_cache = gpt2.init_gen_cache(cfg, N * R, E)
     cur = gpt2.embed_tokens(params, toks0.reshape(N * R))  # [B, D]
 
     def cond(carry):
