@@ -76,6 +76,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--score_gt', default='',
                    help='optional *_metrics_format.json to score predictions in-process')
     p.add_argument('--bf16', action='store_true', default=True)
+    p.add_argument('--no_bf16', dest='bf16', action='store_false')
     return p
 
 
