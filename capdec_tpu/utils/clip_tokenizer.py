@@ -53,7 +53,7 @@ class CLIPTokenizer:
         with opener(bpe_path, "rt", encoding="utf-8") as f:
             merges_lines = f.read().split("\n")
         merges_lines = merges_lines[1: 49152 - 256 - 2 + 1]
-        merges = [tuple(m.split()) for m in merges_lines]
+        merges = [tuple(m.split()) for m in merges_lines if m.strip()]
         self.byte_encoder = _bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         vocab = list(self.byte_encoder.values())
