@@ -75,6 +75,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--batch_size', type=int, default=32)
     p.add_argument('--score_gt', default='',
                    help='optional *_metrics_format.json to score predictions in-process')
+    p.add_argument('--mesh', default='',
+                   help="shard eval batches over a device mesh: 'dp' count (e.g. '4')")
     p.add_argument('--bf16', action='store_true', default=True)
     p.add_argument('--no_bf16', dest='bf16', action='store_false')
     return p
@@ -168,6 +170,10 @@ def main(argv=None):
         from ..utils.clip_tokenizer import CLIPTokenizer
         text_embed_fn = pred_lib.make_text_embed_fn(clip_params, clip_cfg,
                                                     CLIPTokenizer())
+    mesh = None
+    if args.mesh:
+        from ..parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(dp=int(args.mesh), tp=1)
     pcfg = pred_lib.PredictConfig(
         beam=args.beam, batch_size=args.batch_size,
         dont_normalize_prefix=args.dont_normalize_prefix,
@@ -175,7 +181,7 @@ def main(argv=None):
         text_autoencoder=args.text_autoencoder,
         ablation_dist=args.ablation_dist,
         ablation_image_dist=args.ablation_image_dist,
-        text_embed_fn=text_embed_fn)
+        text_embed_fn=text_embed_fn, mesh=mesh)
     results = pred_lib.run_predictions(data, embed_fn, params, model_cfg,
                                        tokenizer, pcfg, out_path=out_path,
                                        bridger_fn=bridger_fn)

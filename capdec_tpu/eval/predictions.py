@@ -48,6 +48,9 @@ class PredictConfig:
     ablation_dist_ready_at: int = 900
     ablation_image_dist: bool = False
     text_embed_fn: Optional[Callable] = None  # for ablation_image_dist
+    # optional device mesh: image batches shard over the dp axis (eval
+    # fan-out is embarrassingly parallel)
+    mesh: Optional[Any] = None
 
 
 def _l2norm(x, axis=-1):
@@ -72,6 +75,11 @@ def run_predictions(records: List[dict],
     from . import ablation
 
     map_fn = jax.jit(caption_model.map_prefix, static_argnums=(1,))
+    shard = None
+    if cfg.mesh is not None:
+        from ..parallel import mesh as mesh_lib
+        shard = mesh_lib.batch_sharding(cfg.mesh)
+        params = jax.device_put(params, mesh_lib.replicated(cfg.mesh))
 
     results: List[dict] = []
     timer = Timer()
@@ -88,7 +96,10 @@ def run_predictions(records: List[dict],
                 prefix = prefix + cfg.modality_offset
             if bridger_fn is not None:
                 prefix = np.asarray(bridger_fn(prefix), np.float32)
-            prefix_embeds = map_fn(params, model_cfg, jnp.asarray(prefix))
+            prefix_dev = jnp.asarray(prefix)
+            if shard is not None and prefix.shape[0] % cfg.mesh.shape["dp"] == 0:
+                prefix_dev = jax.device_put(prefix_dev, shard)
+            prefix_embeds = map_fn(params, model_cfg, prefix_dev)
             if cfg.beam:
                 toks, lens, scores, order = beam_search(
                     params["gpt"], model_cfg.gpt2, prefix_embeds,

@@ -184,3 +184,21 @@ def test_beam_knobs_do_not_change_results(models):
                                              jnp.asarray(prefixes), bc)))
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     np.testing.assert_array_equal(outs[0][3], outs[1][3])
+
+
+def test_nucleus_sampling_path(models):
+    """sample=True draws from the filtered distribution (reference scaffolded
+    this via the commented-out multinomial, gpt2_prefix_eval.py:178)."""
+    _, params, cfg = models
+    prefixes = _random_prefixes(2, 4, SMALL["n_embd"], seed=3)
+    tc = ToppConfig(entry_length=6, top_p=0.9, stop_token=-1,
+                    extra_stop_token=-1, sample=True)
+    t1, l1 = greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc,
+                                key=jax.random.PRNGKey(0))
+    t2, l2 = greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc,
+                                key=jax.random.PRNGKey(1))
+    t1b, _ = greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc,
+                                key=jax.random.PRNGKey(0))
+    # deterministic per key, varies across keys
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t1b))
+    assert not np.array_equal(np.asarray(t1), np.asarray(t2))

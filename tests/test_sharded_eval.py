@@ -40,3 +40,31 @@ def test_dp_sharded_beam_matches_single_device():
     np.testing.assert_array_equal(got_lens, ref_lens)
     np.testing.assert_array_equal(got_order, ref_order)
     np.testing.assert_allclose(got_scores, ref_scores, atol=1e-4, rtol=1e-4)
+
+
+def test_run_predictions_with_mesh():
+    """Predictions runner with a dp mesh produces identical captions."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from capdec_tpu.eval import predictions as pred_lib
+    from capdec_tpu.models import caption_model
+    from capdec_tpu.utils.tokenizer import ByteTokenizer
+
+    cfg = caption_model.CaptionModelConfig(
+        prefix_length=4, clip_length=4, prefix_size=8, num_layers=1,
+        mapping_type="mlp",
+        gpt2=gpt2.GPT2Config(vocab_size=128, n_positions=48, n_embd=32,
+                             n_layer=1, n_head=4))
+    params = caption_model.init_params(jax.random.PRNGKey(3), cfg)
+    records = [{"image_id": i, "clip_embedding": i} for i in range(16)]
+    prefixes = np.random.RandomState(0).randn(16, 8).astype(np.float32)
+    tok = ByteTokenizer()
+    bc = BeamConfig(beam_size=3, entry_length=6, stop_token=-1)
+    base = pred_lib.run_predictions(
+        records, pred_lib.make_pickle_embed_fn(prefixes), params, cfg, tok,
+        pred_lib.PredictConfig(batch_size=8, beam_config=bc))
+    mesh = mesh_lib.make_mesh(dp=8, tp=1)
+    sharded = pred_lib.run_predictions(
+        records, pred_lib.make_pickle_embed_fn(prefixes), params, cfg, tok,
+        pred_lib.PredictConfig(batch_size=8, beam_config=bc, mesh=mesh))
+    assert base == sharded
