@@ -1,20 +1,28 @@
-"""Captioning metrics: BLEU-1..4, ROUGE-L, CIDEr-D — implemented in-repo.
+"""Captioning metrics: BLEU-1..4, ROUGE-L, CIDEr-D, METEOR — in-repo.
 
 The reference computes metrics through the external pycocoevalcap repo
 (README.md:74-78) and only emits prediction/GT JSON. Here the standard
-corpus scorers are first-party so evaluation is one command:
-  * BLEU with the COCO-eval conventions (corpus-level, closest reference
-    length for the brevity penalty)
-  * ROUGE-L (LCS F-score, beta=1.2)
-  * CIDEr-D (tf-idf 1-4grams, length gaussian penalty sigma=6, count
-    clipping, *10 scaling)
-METEOR and SPICE require external resources (paraphrase tables / a Java
-scene-graph parser) and are intentionally not re-implemented; use
-pycocoevalcap for those two if installed.
+corpus scorers are first-party so evaluation is one command. Each scorer
+follows the pycocoevalcap algorithm exactly:
+  * PTB tokenization: Penn-Treebank word splitting (same rule set as the
+    Stanford tokenizer pycocoevalcap shells out to, `-preserveLines
+    -lowerCase`), then the COCO punctuation-token removal list.
+  * BLEU: corpus-level, closest-reference-length brevity penalty with the
+    ratio form `exp(1 - 1/ratio)` and the tiny/small (1e-15 / 1e-9)
+    robustness constants of the COCO bleu_scorer.
+  * ROUGE-L: LCS with max-precision and max-recall taken INDEPENDENTLY
+    across references (not max-F), beta=1.2, mean over images.
+  * CIDEr-D: tf-idf 1-4grams with candidate-count clipping, length
+    gaussian penalty sigma=6, *10 scaling.
+  * METEOR: implemented as the exact+stem variant (Porter stemmer,
+    alpha=0.9, beta=3, gamma=0.5 — the classic METEOR formulation).
+    The jar METEOR additionally uses WordNet synonyms and paraphrase
+    tables (external resources), so scores here are typically slightly
+    LOWER than pycocoevalcap's; treat cross-paper comparisons of METEOR
+    accordingly. SPICE (Java scene-graph parser) is not re-implemented.
 
 Inputs use the COCO format: {image_id: [captions...]} for both candidates
-(single-element lists) and references. Tokenization approximates the PTB
-tokenizer: lowercase, strip punctuation, whitespace split.
+(single-element lists) and references.
 """
 from __future__ import annotations
 
@@ -23,11 +31,64 @@ import re
 from collections import Counter, defaultdict
 from typing import Dict, List, Sequence, Tuple
 
-_PUNCT = re.compile(r"[^\w\s]")
+# ---------------------------------------------------------------------------
+# PTB tokenization (Stanford PTBTokenizer behavior for caption-style text)
+# ---------------------------------------------------------------------------
+
+# Tokens the COCO evaluation discards after tokenizing (pycocoevalcap
+# tokenizer.py PUNCTUATIONS).
+PUNCTUATIONS = {"''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+                ".", "?", "!", ",", ":", "-", "--", "...", ";"}
+
+_CONTRACTIONS2 = [
+    re.compile(p, re.IGNORECASE) for p in (
+        r"\b(can)(not)\b", r"\b(d)('ye)\b", r"\b(gim)(me)\b",
+        r"\b(gon)(na)\b", r"\b(got)(ta)\b", r"\b(lem)(me)\b",
+        r"\b(more)('n)\b", r"\b(wan)(na)\b")]
+_CONTRACTIONS3 = [
+    re.compile(p, re.IGNORECASE) for p in (
+        r"\b(whad)(dd)(ya)\b", r"\b(wha)(t)(cha)\b")]
+
+
+def ptb_word_tokenize(text: str) -> List[str]:
+    """Penn-Treebank word tokenization (the public sed-script rule set the
+    Stanford/NLTK tokenizers implement), specialized to single-line text."""
+    t = " " + text + " "
+    # starting quotes
+    t = re.sub(r"^\s*\"", ' `` ', t)
+    t = re.sub(r"(``)", r" \1 ", t)
+    t = re.sub(r'([ (\[{<])"', r"\1 `` ", t)
+    # punctuation
+    t = re.sub(r"([:,])([^\d])", r" \1 \2", t)
+    t = re.sub(r"([:,])$", r" \1 ", t)
+    t = re.sub(r"\.\.\.", r" ... ", t)
+    t = re.sub(r"[;@#$%&]", r" \g<0> ", t)
+    # final period (keeps abbreviation dots attached, splits sentence dot)
+    t = re.sub(r"([^\.])(\.)([\]\)}>\"']*)\s*$", r"\1 \2\3 ", t)
+    t = re.sub(r"[?!]", r" \g<0> ", t)
+    t = re.sub(r"([^'])' ", r"\1 ' ", t)
+    # brackets -> PTB escapes
+    for sym, esc in (("(", "-LRB-"), (")", "-RRB-"), ("[", "-LRB-"),
+                     ("]", "-RRB-"), ("{", "-LCB-"), ("}", "-RCB-")):
+        t = t.replace(sym, f" {esc} ")
+    t = re.sub(r"--", r" -- ", t)
+    # ending quotes
+    t = re.sub(r'"', " '' ", t)
+    t = re.sub(r"(\S)('')", r"\1 \2 ", t)
+    # possessives and contractions
+    t = re.sub(r"([^' ])('[sS]|'[mM]|'[dD]|') ", r"\1 \2 ", t)
+    t = re.sub(r"([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) ", r"\1 \2 ", t)
+    for pat in _CONTRACTIONS2:
+        t = pat.sub(r" \1 \2 ", t)
+    for pat in _CONTRACTIONS3:
+        t = pat.sub(r" \1 \2 \3 ", t)
+    return t.split()
 
 
 def ptb_tokenize(caption: str) -> List[str]:
-    return _PUNCT.sub(" ", caption.lower()).split()
+    """COCO-eval tokenization: lowercase PTB tokens minus punctuation."""
+    return [w for w in ptb_word_tokenize(caption.lower().strip())
+            if w not in PUNCTUATIONS]
 
 
 def _ngrams(tokens: Sequence[str], n: int) -> Counter:
@@ -35,43 +96,49 @@ def _ngrams(tokens: Sequence[str], n: int) -> Counter:
 
 
 # ---------------------------------------------------------------------------
-# BLEU
+# BLEU (COCO bleu_scorer semantics)
 # ---------------------------------------------------------------------------
+
+_TINY = 1e-15
+_SMALL = 1e-9
 
 
 def bleu(candidates: Dict, references: Dict, max_n: int = 4) -> List[float]:
-    """Corpus BLEU-1..max_n (COCO conventions)."""
-    clipped = [0] * max_n
-    totals = [0] * max_n
-    cand_len = 0
-    ref_len = 0
+    """Corpus BLEU-1..max_n with the COCO conventions: closest reference
+    length for the brevity penalty (ties -> shorter), the ratio-form BP
+    `exp(1 - 1/ratio)`, and (correct+tiny)/(guess+small) precision."""
+    correct = [0] * max_n
+    guess = [0] * max_n
+    testlen = 0
+    reflen = 0
     for img_id, cands in candidates.items():
         cand = ptb_tokenize(cands[0])
         refs = [ptb_tokenize(r) for r in references[img_id]]
-        cand_len += len(cand)
-        # closest reference length (ties -> shorter)
-        ref_len += min((abs(len(r) - len(cand)), len(r)) for r in refs)[1]
+        testlen += len(cand)
+        reflen += min((abs(len(r) - len(cand)), len(r)) for r in refs)[1]
         for n in range(1, max_n + 1):
             cgrams = _ngrams(cand, n)
             max_ref = Counter()
             for r in refs:
                 for g, c in _ngrams(r, n).items():
                     max_ref[g] = max(max_ref[g], c)
-            clipped[n - 1] += sum(min(c, max_ref[g]) for g, c in cgrams.items())
-            totals[n - 1] += max(0, len(cand) - n + 1)
-    bp = 1.0 if cand_len > ref_len else math.exp(1 - ref_len / max(1, cand_len))
-    scores = []
-    log_sum = 0.0
-    for n in range(max_n):
-        p = clipped[n] / totals[n] if totals[n] > 0 else 0.0
-        # tiny epsilon as in the coco-eval implementation to avoid log(0)
-        log_sum += math.log(max(p, 1e-16))
-        scores.append(bp * math.exp(log_sum / (n + 1)))
-    return scores
+            correct[n - 1] += sum(min(c, max_ref[g])
+                                  for g, c in cgrams.items())
+            guess[n - 1] += max(0, len(cand) - n + 1)
+    bleus = []
+    running = 1.0
+    for k in range(max_n):
+        running *= (correct[k] + _TINY) / (guess[k] + _SMALL)
+        bleus.append(running ** (1.0 / (k + 1)))
+    ratio = (testlen + _TINY) / (reflen + _SMALL)
+    if ratio < 1:
+        bp = math.exp(1 - 1 / ratio)
+        bleus = [b * bp for b in bleus]
+    return bleus
 
 
 # ---------------------------------------------------------------------------
-# ROUGE-L
+# ROUGE-L (COCO rouge.py semantics)
 # ---------------------------------------------------------------------------
 
 
@@ -87,25 +154,30 @@ def _lcs_len(a: List[str], b: List[str]) -> int:
 
 
 def rouge_l(candidates: Dict, references: Dict, beta: float = 1.2) -> float:
+    """Mean over images of the LCS F-score built from the MAX precision and
+    MAX recall taken independently across references (the COCO rouge.py
+    formulation — not the max per-reference F-score)."""
     scores = []
     for img_id, cands in candidates.items():
         cand = ptb_tokenize(cands[0])
-        best = 0.0
+        precs, recs = [], []
         for ref in references[img_id]:
             r = ptb_tokenize(ref)
             lcs = _lcs_len(cand, r)
-            if lcs == 0:
-                continue
-            prec = lcs / len(cand) if cand else 0.0
-            rec = lcs / len(r) if r else 0.0
-            f = ((1 + beta ** 2) * prec * rec) / (rec + beta ** 2 * prec)
-            best = max(best, f)
-        scores.append(best)
+            precs.append(lcs / len(cand) if cand else 0.0)
+            recs.append(lcs / len(r) if r else 0.0)
+        prec_max, rec_max = max(precs), max(recs)
+        if prec_max != 0 and rec_max != 0:
+            score = ((1 + beta ** 2) * prec_max * rec_max /
+                     (rec_max + beta ** 2 * prec_max))
+        else:
+            score = 0.0
+        scores.append(score)
     return sum(scores) / max(1, len(scores))
 
 
 # ---------------------------------------------------------------------------
-# CIDEr-D
+# CIDEr-D (COCO cider_scorer.py semantics)
 # ---------------------------------------------------------------------------
 
 
@@ -150,7 +222,7 @@ def cider_d(candidates: Dict, references: Dict, max_n: int = 4,
             r_vec, r_norm, r_len = tfidf_vec(r_toks)
             sim_total = 0.0
             for n in range(max_n):
-                # CIDEr-D: clip candidate counts at reference counts
+                # CIDEr-D: clip candidate tf-idf at the reference's
                 num = sum(min(w, r_vec[n].get(g, 0.0)) * r_vec[n].get(g, 0.0)
                           for g, w in c_vec[n].items())
                 if c_norm[n] > 0 and r_norm[n] > 0:
@@ -162,6 +234,197 @@ def cider_d(candidates: Dict, references: Dict, max_n: int = 4,
                 sim_total += sim
             img_score += sim_total / max_n
         scores.append(10.0 * img_score / max(1, len(refs)))
+    return sum(scores) / max(1, len(scores))
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer (from the published algorithm; used by METEOR's stem module)
+# ---------------------------------------------------------------------------
+
+_VOWELS = "aeiou"
+
+
+def _is_cons(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Number of VC sequences in the [C](VC)^m[V] decomposition."""
+    m = 0
+    prev_vowel = False
+    for i in range(len(stem)):
+        cons = _is_cons(stem, i)
+        if cons and prev_vowel:
+            m += 1
+        prev_vowel = not cons
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return (len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1))
+
+
+def _cvc(w: str) -> bool:
+    return (len(w) >= 3 and _is_cons(w, len(w) - 3)
+            and not _is_cons(w, len(w) - 2) and _is_cons(w, len(w) - 1)
+            and w[-1] not in "wxy")
+
+
+def porter_stem(word: str) -> str:
+    """The Porter (1980) stemming algorithm."""
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    flag_1b = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed"):
+        if _has_vowel(w[:-2]):
+            w = w[:-2]
+            flag_1b = True
+    elif w.endswith("ing"):
+        if _has_vowel(w[:-3]):
+            w = w[:-3]
+            flag_1b = True
+    if flag_1b:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _ends_double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in (("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+                     ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+                     ("alli", "al"), ("entli", "ent"), ("eli", "e"),
+                     ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+                     ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+                     ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+                     ("iviti", "ive"), ("biliti", "ble")):
+        if w.endswith(suf):
+            if _measure(w[:-len(suf)]) > 0:
+                w = w[:-len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in (("icate", "ic"), ("ative", ""), ("alize", "al"),
+                     ("iciti", "ic"), ("ical", "ic"), ("ful", ""),
+                     ("ness", "")):
+        if w.endswith(suf):
+            if _measure(w[:-len(suf)]) > 0:
+                w = w[:-len(suf)] + rep
+            break
+    # step 4
+    for suf in ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+                "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+                "ous", "ive", "ize"):
+        if w.endswith(suf):
+            stem = w[:-len(suf)]
+            if _measure(stem) > 1:
+                if suf == "ion" and (not stem or stem[-1] not in "st"):
+                    break
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# METEOR (exact + stem variant)
+# ---------------------------------------------------------------------------
+
+
+def _meteor_align(cand: List[str], ref: List[str]
+                  ) -> Tuple[int, int]:
+    """Greedy two-stage alignment (exact matches first, then Porter-stem
+    matches) returning (matches, chunks). Chunks = maximal runs of matched
+    candidate positions mapping to contiguous ascending reference
+    positions (the METEOR fragmentation statistic)."""
+    ref_free = [True] * len(ref)
+    align = [-1] * len(cand)  # candidate position -> reference position
+
+    def stage(key):
+        buckets = defaultdict(list)
+        for j, r in enumerate(ref):
+            if ref_free[j]:
+                buckets[key(r)].append(j)
+        for i, c in enumerate(cand):
+            if align[i] >= 0:
+                continue
+            lst = buckets.get(key(c))
+            while lst:
+                j = lst.pop(0)
+                if ref_free[j]:
+                    align[i] = j
+                    ref_free[j] = False
+                    break
+
+    stage(lambda w: w)
+    stage(porter_stem)
+    matched = [(i, j) for i, j in enumerate(align) if j >= 0]
+    matches = len(matched)
+    chunks = 0
+    prev_i = prev_j = None
+    for i, j in matched:
+        if prev_i is None or i != prev_i + 1 or j != prev_j + 1:
+            chunks += 1
+        prev_i, prev_j = i, j
+    return matches, chunks
+
+
+def meteor(candidates: Dict, references: Dict, alpha: float = 0.9,
+           beta: float = 3.0, gamma: float = 0.5) -> float:
+    """METEOR with exact+stem matchers (no WordNet synonyms / paraphrase
+    tables — see module docstring). Per image, the best score over
+    references; corpus score = mean over images."""
+    scores = []
+    for img_id, cands in candidates.items():
+        cand = ptb_tokenize(cands[0])
+        best = 0.0
+        for ref_str in references[img_id]:
+            ref = ptb_tokenize(ref_str)
+            if not cand or not ref:
+                continue
+            m, ch = _meteor_align(cand, ref)
+            if m == 0:
+                continue
+            p = m / len(cand)
+            r = m / len(ref)
+            fmean = p * r / (alpha * p + (1 - alpha) * r)
+            frag = ch / m
+            penalty = gamma * (frag ** beta)
+            best = max(best, fmean * (1 - penalty))
+        scores.append(best)
     return sum(scores) / max(1, len(scores))
 
 
@@ -187,6 +450,7 @@ def score_predictions(predictions: List[dict], gt_metrics_format: dict
     b = bleu(cands, refs)
     return {
         "Bleu_1": b[0], "Bleu_2": b[1], "Bleu_3": b[2], "Bleu_4": b[3],
+        "METEOR": meteor(cands, refs),
         "ROUGE_L": rouge_l(cands, refs),
         "CIDEr": cider_d(cands, refs),
         "num_images": float(len(cands)),

@@ -28,6 +28,7 @@ from ..parallel import mesh as mesh_lib
 from ..utils import checkpoint as ckpt_lib
 from ..utils import meter as meter_lib
 from . import optim as optim_lib
+from . import resume as resume_lib
 from . import step as step_lib
 
 
@@ -43,6 +44,18 @@ class TrainLoopConfig:
     latest_every_steps: int = 10000
     seed: int = 0
     log_every: int = 100
+    # Exact resume (improvement over the reference, whose
+    # `--pretrain_weights` restarts the LR schedule — train.py:456-457):
+    # a full Orbax train state (params + AdamW moments + step) is saved at
+    # the `_latest` cadence and at each epoch end; `resume=True` restores
+    # the newest one from out_dir and continues the run bit-exactly (data
+    # order and per-step noise keys are derived from seed/epoch/step).
+    resume: bool = False
+    save_state: bool = True
+    # Stop after this many global steps (None = run all epochs). The full
+    # train state is saved on the way out, so a bounded run + `resume=True`
+    # is equivalent to one uninterrupted run.
+    max_steps: Optional[int] = None
 
 
 def train(model_cfg: caption_model.CaptionModelConfig,
@@ -76,21 +89,46 @@ def train(model_cfg: caption_model.CaptionModelConfig,
     train_step = step_lib.make_train_step(model_cfg, tx, noise_cfg)
     eval_step = step_lib.make_eval_step(model_cfg)
 
+    loss_train, loss_val = [], []
+    start_step = 0
+    if loop_cfg.resume:
+        state_path = resume_lib.latest_state_path(loop_cfg.out_dir)
+        if state_path is not None:
+            # Capture the freshly-initialized state's placements (sharded
+            # under a mesh), restore host arrays, and re-place every leaf.
+            shardings = jax.tree.map(lambda x: x.sharding, state)
+            state = resume_lib.restore_train_state(state_path, state)
+            state = jax.tree.map(jax.device_put, state, shardings)
+            start_step = int(state["step"])
+            loss_json = os.path.join(loop_cfg.out_dir, "loss_per_epoch.json")
+            if os.path.exists(loss_json):
+                with open(loss_json) as f:
+                    hist = json.load(f)
+                loss_train = hist.get("train", [])[:start_step // steps]
+                loss_val = hist.get("val", [])[:start_step // steps]
+            print(f">>> Resuming from {state_path} at step {start_step}",
+                  flush=True)
+
     metrics = meter_lib.MetricsLogger(
         os.path.join(loop_cfg.out_dir, "metrics.jsonl"), print_every=1)
     meter = meter_lib.ThroughputMeter()
 
-    loss_train, loss_val = [], []
-    global_step = 0
+    global_step = start_step
     base_key = key  # per-step noise keys are folded in inside the jitted step
-    for epoch in range(loop_cfg.epochs):
+    for epoch in range(start_step // steps, loop_cfg.epochs):
         print(f">>> Training epoch {epoch} / {loop_cfg.epochs}", flush=True)
         # Keep step dispatch free of host syncs: losses stay on device and
         # are only pulled at logging points / epoch end.
         pending_losses = []
         nb = 0
-        for batch in data_lib.iterate_batches(ds, loop_cfg.batch_size,
-                                              seed=loop_cfg.seed, epoch=epoch):
+        # When resuming mid-epoch, replay the epoch's deterministic batch
+        # order (seeded by seed+epoch) and skip the already-trained ones.
+        skip = max(0, start_step - epoch * steps)
+        for bi, batch in enumerate(
+                data_lib.iterate_batches(ds, loop_cfg.batch_size,
+                                         seed=loop_cfg.seed, epoch=epoch)):
+            if bi < skip:
+                continue
             if batch_shard is not None:
                 batch = {k: jax.device_put(v, batch_shard)
                          for k, v in batch.items()}
@@ -112,6 +150,18 @@ def train(model_cfg: caption_model.CaptionModelConfig,
                     state["params"], model_cfg,
                     ckpt_lib.latest_checkpoint_path(loop_cfg.out_dir,
                                                     loop_cfg.prefix))
+                if loop_cfg.save_state:
+                    # Full train state next to the weights-only `.pt`: a
+                    # mid-epoch crash no longer loses the AdamW moments and
+                    # step counter (the reference deficiency, train.py:359).
+                    resume_lib.save_train_state(state, loop_cfg.out_dir)
+            if loop_cfg.max_steps and global_step >= loop_cfg.max_steps:
+                if loop_cfg.save_state:
+                    resume_lib.save_train_state(state, loop_cfg.out_dir)
+                metrics.close()
+                print(f">>> Stopped at max_steps={global_step}", flush=True)
+                return {"params": state["params"], "loss_per_epoch":
+                        {"train": loss_train, "val": loss_val}}
         acc = float(jnp.sum(jnp.stack(pending_losses))) if pending_losses else 0.0
         loss_train.append(acc / max(1, nb))
         print("loss_per_epoch_train: ", loss_train, flush=True)
@@ -121,6 +171,8 @@ def train(model_cfg: caption_model.CaptionModelConfig,
                 state["params"], model_cfg,
                 ckpt_lib.epoch_checkpoint_path(loop_cfg.out_dir,
                                                loop_cfg.prefix, epoch))
+        if loop_cfg.save_state:
+            resume_lib.save_train_state(state, loop_cfg.out_dir)
 
         if val_ds is not None:
             vacc, vn = 0.0, 0
