@@ -30,7 +30,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..models import gpt2
-from ..ops.cache_reorder import reorder_cache_rows, reorder_cache_rows_bounded  # noqa: F401
+from ..ops.cache_reorder import (reorder_cache_rows,  # noqa: F401
+                                 reorder_cache_rows_bounded,
+                                 reorder_rows_leading)
 from ..utils.tokenizer import GPT2_DOT_TOKEN
 
 NEG = jnp.float32(-1e30)
@@ -43,6 +45,23 @@ def cast_params_for_decode(params, cfg: gpt2.GPT2Config):
         return params
     return jax.tree.map(lambda a: a.astype(cfg.compute_dtype)
                         if a.dtype == jnp.float32 else a, params)
+
+
+def _reorder_gen_cache(gen_cache, global_src: jnp.ndarray, bc: "BeamConfig"):
+    """Permute gen-cache beam rows by `global_src` under the configured
+    layout/backend (Pallas DMA gather on TPU, jnp.take elsewhere)."""
+    if bc.rowmajor_cache:
+        if bc.pallas_reorder:
+            return reorder_rows_leading(gen_cache["k"], gen_cache["v"],
+                                        global_src)
+        return jax.tree.map(lambda a: jnp.take(a, global_src, axis=0),
+                            gen_cache)
+    if bc.pallas_reorder:
+        # The pipelined full-row DMA gather beats both XLA's take (R
+        # full-cache passes) and the slot-bounded manual-DMA variant
+        # (per-chunk DMA latency outweighs the traffic saving).
+        return reorder_cache_rows(gen_cache["k"], gen_cache["v"], global_src)
+    return gpt2.reorder_kv_cache(gen_cache, global_src)
 
 
 def _reorder_cache_onehot(cache, oh_src: jnp.ndarray):
@@ -96,8 +115,21 @@ class BeamConfig:
     chunked_top_k: bool = False
     cast_params: bool = True
     onehot_gather: bool = True
+    # Ancestry attention: never reorder the KV cache; carry a one-hot
+    # [N, R, R, E] ancestry table and select rows inside attention
+    # (gpt2.decode_step). Eliminates the per-step cache permutation —
+    # 55% of the measured beam step (docs/PERFORMANCE.md).
+    # Measured SLOWER than reordering at beam 5 (the one-hot R_s sum
+    # re-reads the cache ~R times); kept as an oracle-tested variant.
+    ancestry: bool = False
+    # Row-major [B, L, E, D] gen cache: each beam row is one contiguous
+    # block, so the per-step permutation is one whole-row DMA per beam.
+    rowmajor_cache: bool = True
     # None = auto: Pallas DMA-gather reorder on TPU, jnp.take elsewhere.
     pallas_reorder: Optional[bool] = None
+    # Perf-ablation ONLY: skip the cache permutation entirely. Results are
+    # WRONG; this measures the no-reorder floor of the decode step.
+    skip_reorder_unsafe: bool = False
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -120,17 +152,29 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
     seq_lengths = jnp.ones((N, R), jnp.float32)
     is_stopped = toks0 == bc.stop_token
 
-    gen_cache = gpt2.init_gen_cache(cfg, N * R, E)
+    # Cache slots padded to a multiple of 8 so whole-row DMA slices stay
+    # aligned to the (8, 128) memref tiling (Mosaic requirement); slots
+    # >= step are masked in attention, so padding is free correctness-wise.
+    E_pad = -(-E // 8) * 8
+    init_cache = (gpt2.init_gen_cache_rowmajor if bc.rowmajor_cache
+                  else gpt2.init_gen_cache)
+    gen_cache = init_cache(cfg, N * R, E_pad)
     cur = gpt2.embed_tokens(params, toks0.reshape(N * R))  # [B, D]
+    # anc[n, rq, rs, e] == 1: beam rq's slot-e K/V live in cache row rs.
+    # Slot e's ancestry is set when it is written (identity: each row
+    # writes its own slot) and composed through each selection's src map.
+    anc = jnp.zeros((N, R, R, E_pad), jnp.float32)
 
     def cond(carry):
-        i, _, _, _, stopped, _, _ = carry
+        i, _, _, _, stopped, _, _, _ = carry
         return jnp.logical_and(i < E, jnp.logical_not(jnp.all(stopped)))
 
     def body(carry):
-        i, tokens, scores, seq_lengths, is_stopped, cur, gen_cache = carry
-        logits, gen_cache = gpt2.decode_step(params, cfg, cur, prefix_cache,
-                                             gen_cache, i - 1)
+        i, tokens, scores, seq_lengths, is_stopped, cur, gen_cache, anc = carry
+        logits, gen_cache = gpt2.decode_step(
+            params, cfg, cur, prefix_cache, gen_cache, i - 1,
+            anc_oh=anc if bc.ancestry else None,
+            rowmajor=bc.rowmajor_cache)
         if bc.temperature > 0 and bc.temperature != 1.0:
             logits = logits / bc.temperature
         logits = logits.astype(jnp.float32)
@@ -173,19 +217,23 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
                 is_stopped.astype(jnp.float32)) > 0.5
             tokens = jnp.einsum("nrs,nse->nre", oh_src,
                                 tokens.astype(jnp.float32)).astype(jnp.int32)
-            # Big-cache permutation: XLA's take lowers to ~R full-cache
-            # passes (68% of the step at batch 64) — the Pallas DMA-gather
-            # kernel moves each row exactly once.
-            global_src = (jnp.arange(N)[:, None] * R + src).reshape(-1)
-            if bc.pallas_reorder:
-                # The pipelined full-row DMA gather beats both XLA's take
-                # (R full-cache passes) and the slot-bounded manual-DMA
-                # variant (per-chunk DMA latency outweighs the traffic
-                # saving — measured 72.5 vs 64.5 caps/s at batch 64).
-                gen_cache = reorder_cache_rows(gen_cache["k"],
-                                               gen_cache["v"], global_src)
+            if bc.ancestry:
+                # No cache movement at all: record that slot i-1 was
+                # written row-identically, then route every beam's table
+                # through its source beam.
+                eye = jnp.broadcast_to(
+                    jnp.eye(R, dtype=jnp.float32)[None, :, :, None],
+                    (N, R, R, 1))
+                anc_id = lax.dynamic_update_slice(anc, eye, (0, 0, 0, i - 1))
+                anc = jnp.einsum("nqs,nsre->nqre", oh_src, anc_id)
+            elif bc.skip_reorder_unsafe:
+                pass
             else:
-                gen_cache = gpt2.reorder_kv_cache(gen_cache, global_src)
+                # Big-cache permutation: XLA's take lowers to ~R full-cache
+                # passes (68% of the step at batch 64) — the Pallas
+                # DMA-gather kernel moves each row exactly once.
+                global_src = (jnp.arange(N)[:, None] * R + src).reshape(-1)
+                gen_cache = _reorder_gen_cache(gen_cache, global_src, bc)
         else:
             nxt = jnp.take_along_axis(cand_tok.reshape(N, R * R), flat_idx,
                                       axis=1)
@@ -193,17 +241,26 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
             seq_lengths = take(seq_lengths)
             is_stopped = take(is_stopped)
             tokens = jnp.take_along_axis(tokens, src[:, :, None], axis=1)
-            global_src = (jnp.arange(N)[:, None] * R + src).reshape(-1)
-            gen_cache = gpt2.reorder_kv_cache(gen_cache, global_src)
+            if bc.ancestry:
+                eye = jnp.broadcast_to(
+                    jnp.eye(R, dtype=jnp.float32)[None, :, :, None],
+                    (N, R, R, 1))
+                anc_id = lax.dynamic_update_slice(anc, eye, (0, 0, 0, i - 1))
+                anc = jnp.take_along_axis(anc_id, src[:, :, None, None],
+                                          axis=1)
+            else:
+                global_src = (jnp.arange(N)[:, None] * R + src).reshape(-1)
+                gen_cache = _reorder_gen_cache(gen_cache, global_src, bc)
         scores = top_avg * seq_lengths
         tokens = tokens.at[:, :, i].set(nxt)
         is_stopped = jnp.logical_or(is_stopped, nxt == bc.stop_token)
         cur = gpt2.embed_tokens(params, nxt.reshape(N * R))
-        return (i + 1, tokens, scores, seq_lengths, is_stopped, cur, gen_cache)
+        return (i + 1, tokens, scores, seq_lengths, is_stopped, cur,
+                gen_cache, anc)
 
     carry = (jnp.asarray(1, jnp.int32), tokens, scores, seq_lengths,
-             is_stopped, cur, gen_cache)
-    _, tokens, scores, seq_lengths, is_stopped, _, _ = lax.while_loop(
+             is_stopped, cur, gen_cache, anc)
+    _, tokens, scores, seq_lengths, is_stopped, _, _, _ = lax.while_loop(
         cond, body, carry)
 
     final_scores = scores / seq_lengths

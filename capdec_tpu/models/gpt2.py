@@ -335,6 +335,18 @@ def init_gen_cache(cfg: GPT2Config, batch: int, max_new: int,
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+def init_gen_cache_rowmajor(cfg: GPT2Config, batch: int, max_new: int,
+                            dtype=None) -> Params:
+    """Row-major gen cache [B, L, E, D]: each beam row's K/V across all
+    layers is one contiguous block, so the per-step beam permutation is a
+    single whole-row DMA per beam (the [L, B, E, D] layout needs L strided
+    segments per row, and the gather is DMA-descriptor-issue-bound —
+    measured 260 GB/s vs HBM's ~820)."""
+    dtype = dtype or cfg.compute_dtype
+    shape = (batch, cfg.n_layer, max_new, cfg.n_embd)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
 def repeat_prefix_cache(prefix_cache: Params, repeats: int) -> Params:
     """Tile a [L, N, ...] prefix cache to [L, N*R, ...] (unified-cache path)."""
     return jax.tree.map(
@@ -343,7 +355,10 @@ def repeat_prefix_cache(prefix_cache: Params, repeats: int) -> Params:
 
 def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                 prefix_cache: Params, gen_cache: Params,
-                step: jnp.ndarray) -> Tuple[jnp.ndarray, Params]:
+                step: jnp.ndarray,
+                anc_oh: Optional[jnp.ndarray] = None,
+                rowmajor: bool = False
+                ) -> Tuple[jnp.ndarray, Params]:
     """One decode step over split caches.
 
     token_embed: [B, D] embeddings of the tokens decoded at generated
@@ -356,6 +371,18 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
     group reductions on the VPU. This keeps the cache in its storage layout
     end to end — a head-major batched matmul would make XLA transpose-copy
     the whole cache every step (measured via jax.profiler).
+
+    `anc_oh` [N, R, R, E] (float 0/1) enables ancestry attention for beam
+    search WITHOUT physically reordering the cache each step: rows stay
+    where they were written and `anc_oh[n, rq, rs, e] == 1` means beam
+    rq's slot-e K/V live in cache row rs. Selection via the one-hot is
+    exact (bit-identical to a reordered cache) but was MEASURED SLOWER
+    than reordering at beam 5 (the R_s sum re-reads the cache ~R times);
+    kept as an oracle-tested variant, default off.
+
+    `rowmajor=True` reads a [B, L, E, D] gen cache (init_gen_cache_rowmajor)
+    — per-layer slices inside the scan, contiguous per-beam rows outside,
+    making the beam permutation one whole-row DMA per beam.
     """
     B, D = token_embed.shape
     L, N, K, _ = prefix_cache["k"].shape
@@ -387,8 +414,7 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
         """Inverse of `heads` for probabilities: [..., H] -> [..., D]."""
         return jnp.repeat(p, hd, axis=-1)
 
-    def body(x, inputs):
-        layer, pk, pv, gk, gv = inputs
+    def body_core(x, layer, pk, pv, gk, gv):
         h = _layer_norm(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"],
                         cfg.layer_norm_epsilon)
         qkv = jnp.dot(h[:, 0].astype(cdt), layer["attn"]["c_attn_w"].astype(cdt),
@@ -402,7 +428,16 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
         # arbitrary bits (the bounded reorder skips them), so masking must
         # be NaN-proof: `where`, never additive bias, and the value-side
         # products are zeroed through `where` as well (0 * NaN == NaN).
-        sg = heads((q[:, None, :] * gk.astype(cdt)).astype(jnp.float32))
+        if anc_oh is None:
+            sg = heads((q[:, None, :] * gk.astype(cdt)).astype(jnp.float32))
+        else:
+            # Pairwise scores over the image's R source rows, then exact
+            # one-hot ancestry selection (adds zeros only — bit-identical
+            # to the reordered-row score).
+            gk_img = gk.reshape(N, R, E, D).astype(cdt)
+            sg_all = heads((q_img[:, :, None, :, :] *
+                            gk_img[:, None, :, :, :]).astype(jnp.float32))
+            sg = jnp.sum(sg_all * anc_oh[..., None], axis=2).reshape(B, E, H)
         sg = jnp.where(gen_valid[None, :, None], sg * scale, NEG_INF)
         # current token attends to itself [B, 1, H].
         sc = heads((q * k_new).astype(jnp.float32))[:, None, :]
@@ -415,8 +450,17 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
         p_c = spread(probs[:, K + E, :].astype(cdt))     # [B, D]
         out = jnp.sum(p_p.reshape(N, R, K, D) * pv[:, None, :, :].astype(cdt),
                       axis=2).reshape(B, D)
+        if anc_oh is None:
+            gv_sel = gv.astype(cdt)
+        else:
+            # Ancestry-select each beam's V rows: the one-hot sum picks one
+            # value and adds exact zeros (1.0 and 0.0 are exact in cdt) —
+            # identical to the reordered gv, no precision caveat.
+            gv_img = gv.reshape(N, 1, R, E, D).astype(cdt)
+            gv_sel = jnp.sum(gv_img * anc_oh[..., None].astype(cdt), axis=2
+                             ).reshape(B, E, D)
         out = out + jnp.sum(
-            jnp.where(gen_valid[None, :, None], p_g * gv.astype(cdt), 0.0),
+            jnp.where(gen_valid[None, :, None], p_g * gv_sel, 0.0),
             axis=1)
         out = out + p_c * v_new
         out = jnp.dot(out.astype(cdt), layer["attn"]["c_proj_w"].astype(cdt),
@@ -432,15 +476,39 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
         y = y + h[:, None, :].astype(y.dtype)
         return y, (k_new, v_new)
 
-    x, (ks, vs) = lax.scan(
-        body, x, (params["blocks"], prefix_cache["k"], prefix_cache["v"],
-                  gen_cache["k"], gen_cache["v"]))
-    new_k = lax.dynamic_update_slice(
-        gen_cache["k"], ks[:, :, None, :].astype(gen_cache["k"].dtype),
-        (0, 0, step, 0))
-    new_v = lax.dynamic_update_slice(
-        gen_cache["v"], vs[:, :, None, :].astype(gen_cache["v"].dtype),
-        (0, 0, step, 0))
+    if rowmajor:
+        genk, genv = gen_cache["k"], gen_cache["v"]  # [B, L, E, D]
+
+        def body_rm(x, inputs):
+            layer, pk, pv, l = inputs
+            gk = lax.dynamic_index_in_dim(genk, l, axis=1, keepdims=False)
+            gv = lax.dynamic_index_in_dim(genv, l, axis=1, keepdims=False)
+            return body_core(x, layer, pk, pv, gk, gv)
+
+        x, (ks, vs) = lax.scan(
+            body_rm, x, (params["blocks"], prefix_cache["k"],
+                         prefix_cache["v"], jnp.arange(L)))
+
+        def upd(cache, slim):  # slim [L, B, D] -> cache [B, L, E, D]
+            return lax.dynamic_update_slice(
+                cache, slim.transpose(1, 0, 2)[:, :, None, :].astype(
+                    cache.dtype), (0, 0, step, 0))
+
+        new_k, new_v = upd(genk, ks), upd(genv, vs)
+    else:
+        def body(x, inputs):
+            layer, pk, pv, gk, gv = inputs
+            return body_core(x, layer, pk, pv, gk, gv)
+
+        x, (ks, vs) = lax.scan(
+            body, x, (params["blocks"], prefix_cache["k"],
+                      prefix_cache["v"], gen_cache["k"], gen_cache["v"]))
+        new_k = lax.dynamic_update_slice(
+            gen_cache["k"], ks[:, :, None, :].astype(gen_cache["k"].dtype),
+            (0, 0, step, 0))
+        new_v = lax.dynamic_update_slice(
+            gen_cache["v"], vs[:, :, None, :].astype(gen_cache["v"].dtype),
+            (0, 0, step, 0))
     logits = _final_logits(params, cfg, x)[:, 0]
     return logits, {"k": new_k, "v": new_v}
 

@@ -186,6 +186,42 @@ def test_beam_knobs_do_not_change_results(models):
     np.testing.assert_array_equal(outs[0][3], outs[1][3])
 
 
+def test_beam_cache_layouts_identical(models):
+    """Row-major [B, L, E, D] and layer-major [L, B, E, D] gen caches give
+    bit-identical results."""
+    _, params, cfg = models
+    prefixes = _random_prefixes(3, 6, SMALL["n_embd"], seed=29)
+    from capdec_tpu.decode.beam import BeamConfig as BC
+    outs = []
+    for rm in (True, False):
+        bc = BC(beam_size=4, entry_length=10, stop_token=13,
+                rowmajor_cache=rm, pallas_reorder=False)
+        outs.append(jax.tree.map(np.asarray,
+                                 beam_search(params, cfg,
+                                             jnp.asarray(prefixes), bc)))
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("onehot", [True, False])
+def test_beam_ancestry_matches_reorder(models, onehot):
+    """Ancestry attention (no cache movement) must be bit-identical to the
+    physically-reordered-cache path, for both gather styles."""
+    _, params, cfg = models
+    prefixes = _random_prefixes(3, 6, SMALL["n_embd"], seed=23)
+    from capdec_tpu.decode.beam import BeamConfig as BC
+    outs = []
+    for ancestry in (True, False):
+        bc = BC(beam_size=4, entry_length=11, stop_token=13,
+                ancestry=ancestry, onehot_gather=onehot,
+                pallas_reorder=False)
+        outs.append(jax.tree.map(np.asarray,
+                                 beam_search(params, cfg,
+                                             jnp.asarray(prefixes), bc)))
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_nucleus_sampling_path(models):
     """sample=True draws from the filtered distribution (reference scaffolded
     this via the commented-out multinomial, gpt2_prefix_eval.py:178)."""
