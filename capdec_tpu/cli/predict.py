@@ -142,6 +142,7 @@ def main(argv=None):
     tokenizer = load_tokenizer()
 
     # embedding source
+    record_filter = None
     if args.embeddings_pickle:
         with open(args.embeddings_pickle, 'rb') as f:
             all_data = pickle.load(f)
@@ -160,9 +161,10 @@ def main(argv=None):
             embed_fn = pred_lib.make_text_embed_fn(clip_params, clip_cfg,
                                                    CLIPTokenizer())
         else:
-            embed_fn = pred_lib.make_image_embed_fn(
-                clip_params, clip_cfg,
-                image_path_fn_for_mode(args.dataset_mode, images_root))
+            path_fn = image_path_fn_for_mode(args.dataset_mode, images_root)
+            embed_fn = pred_lib.make_image_embed_fn(clip_params, clip_cfg,
+                                                    path_fn)
+            record_filter = lambda d: os.path.isfile(path_fn(d))
 
     text_embed_fn = None
     if (args.ablation_image_dist and args.clip_checkpoint
@@ -181,7 +183,8 @@ def main(argv=None):
         text_autoencoder=args.text_autoencoder,
         ablation_dist=args.ablation_dist,
         ablation_image_dist=args.ablation_image_dist,
-        text_embed_fn=text_embed_fn, mesh=mesh)
+        text_embed_fn=text_embed_fn, mesh=mesh,
+        record_filter=record_filter)
     results = pred_lib.run_predictions(data, embed_fn, params, model_cfg,
                                        tokenizer, pcfg, out_path=out_path,
                                        bridger_fn=bridger_fn)

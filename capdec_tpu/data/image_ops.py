@@ -24,8 +24,10 @@ def preprocess_pil(img, n_px: int) -> np.ndarray:
     scale = n_px / min(w, h)
     new_w, new_h = round(w * scale), round(h * scale)
     img = img.resize((new_w, new_h), Image.BICUBIC)
-    left = (new_w - n_px) // 2
-    top = (new_h - n_px) // 2
+    # torchvision CenterCrop rounds the crop origin; floor division would
+    # be off by one pixel for odd size differences.
+    left = int(round((new_w - n_px) / 2.0))
+    top = int(round((new_h - n_px) / 2.0))
     img = img.crop((left, top, left + n_px, top + n_px))
     arr = np.asarray(img, np.float32) / 255.0
     return (arr - CLIP_MEAN) / CLIP_STD

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..models import gpt2
-from ..ops.cache_reorder import (reorder_cache_rows,  # noqa: F401
+from ..ops.cache_reorder import (copy_forked_rows,  # noqa: F401
+                                 reorder_cache_rows,
                                  reorder_cache_rows_bounded,
                                  reorder_rows_leading)
 from ..utils.tokenizer import GPT2_DOT_TOKEN
@@ -51,6 +52,16 @@ def _reorder_gen_cache(gen_cache, global_src: jnp.ndarray, bc: "BeamConfig"):
     """Permute gen-cache beam rows by `global_src` under the configured
     layout/backend (Pallas DMA gather on TPU, jnp.take elsewhere)."""
     if bc.rowmajor_cache:
+        if bc.mxu_reorder:
+            B = gen_cache["k"].shape[0]
+            P = jax.nn.one_hot(global_src, B, dtype=gen_cache["k"].dtype)
+
+            def perm(a):
+                return jnp.einsum(
+                    "bs,sled->bled", P, a,
+                    preferred_element_type=jnp.float32).astype(a.dtype)
+
+            return jax.tree.map(perm, gen_cache)
         if bc.pallas_reorder:
             return reorder_rows_leading(gen_cache["k"], gen_cache["v"],
                                         global_src)
@@ -105,6 +116,36 @@ def exact_top_k_chunked(x: jnp.ndarray, k: int,
     return top_vals, top_idx
 
 
+def _assign_lanes(src: jnp.ndarray, R: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Assign the R ranked winners of each image to physical cache lanes.
+
+    The first (best-ranked) winner descending from each source lane stays
+    IN that lane ("primary" — its cache row needs no movement); remaining
+    winners take the dead lanes (lanes no primary claimed) in rank order.
+    Because a lane is overwritten only if its own beam produced no primary
+    (i.e. nobody reads it), fork copies are hazard-free in place and the
+    bytes moved per step are proportional to actual forks, not cache size.
+
+    src: [N, R] source lane of each ranked winner.
+    Returns (lane_oh [N, W, S] one-hot lane of each winner (f32),
+             lane_of_rank [N, W] int32).
+    """
+    oh = jax.nn.one_hot(src, R, dtype=jnp.float32)            # [N, W, S]
+    claims_before = jnp.cumsum(oh, axis=1) - oh               # earlier ranks
+    is_primary = jnp.sum(oh * claims_before, axis=2) == 0     # [N, W]
+    claimed = jnp.sum(oh * is_primary[..., None], axis=1)     # [N, S]
+    # k-th unclaimed lane pairs with the k-th non-primary winner (by rank)
+    free_idx = jnp.cumsum(1.0 - claimed, axis=1) - (1.0 - claimed)
+    nonprim_idx = (jnp.cumsum((~is_primary).astype(jnp.float32), axis=1)
+                   - (~is_primary))
+    free_oh = ((1.0 - claimed)[:, None, :] *
+               (free_idx[:, None, :] == nonprim_idx[:, :, None]))
+    lane_oh = jnp.where(is_primary[:, :, None], oh, free_oh)  # [N, W, S]
+    lane_of_rank = jnp.argmax(lane_oh, axis=2).astype(jnp.int32)
+    return lane_oh, lane_of_rank
+
+
 @dataclasses.dataclass(frozen=True)
 class BeamConfig:
     beam_size: int = 5
@@ -125,6 +166,18 @@ class BeamConfig:
     # Row-major [B, L, E, D] gen cache: each beam row is one contiguous
     # block, so the per-step permutation is one whole-row DMA per beam.
     rowmajor_cache: bool = True
+    # Lane-assigned beams: keep each surviving beam in its own cache lane
+    # and copy rows only for actual forks (in-place conditional DMA on
+    # TPU). Every full-cache movement mechanism measured ~6.5 ms/step at
+    # batch 64 (DMA gather, MXU one-hot matmul, XLA take); fork copies
+    # move only the forked rows. Results are bit-identical — a final
+    # rank permutation restores the reference beam order.
+    lane_beams: bool = True
+    # Permute the cache with a one-hot MXU matmul (P [B, B] is tiny and
+    # VMEM-resident, the cache streams once at matmul bandwidth instead of
+    # the ~280 GB/s HBM-to-HBM DMA copy ceiling). Exact: f32 accumulation
+    # of one 1.0 coefficient per row. Row-major layout only.
+    mxu_reorder: bool = False
     # None = auto: Pallas DMA-gather reorder on TPU, jnp.take elsewhere.
     pallas_reorder: Optional[bool] = None
     # Perf-ablation ONLY: skip the cache permutation entirely. Results are
@@ -165,12 +218,19 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
     # writes its own slot) and composed through each selection's src map.
     anc = jnp.zeros((N, R, R, E_pad), jnp.float32)
 
+    # rank -> lane map of the most recent selection (identity at step 0,
+    # where ranks ARE lanes); used by lane_beams to restore rank order.
+    lane_of_rank = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32),
+                                    (N, R))
+    use_lanes = bc.lane_beams and not bc.ancestry
+
     def cond(carry):
-        i, _, _, _, stopped, _, _, _ = carry
+        i, _, _, _, stopped, _, _, _, _ = carry
         return jnp.logical_and(i < E, jnp.logical_not(jnp.all(stopped)))
 
     def body(carry):
-        i, tokens, scores, seq_lengths, is_stopped, cur, gen_cache, anc = carry
+        (i, tokens, scores, seq_lengths, is_stopped, cur, gen_cache, anc,
+         lane_of_rank) = carry
         logits, gen_cache = gpt2.decode_step(
             params, cfg, cur, prefix_cache, gen_cache, i - 1,
             anc_oh=anc if bc.ancestry else None,
@@ -200,7 +260,39 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
         avg = scores_sum / seq_lengths[:, :, None]
         top_avg, flat_idx = lax.top_k(avg.reshape(N, R * R), R)  # [N, R]
         src = flat_idx // R
-        if bc.onehot_gather:
+        if use_lanes:
+            lane_oh, lane_of_rank = _assign_lanes(src, R)  # [N, W, S]
+            oh_flat = jax.nn.one_hot(flat_idx, R * R, dtype=jnp.float32)
+            nxt_w = jnp.einsum("nwc,nc->nw", oh_flat,
+                               cand_tok.reshape(N, R * R).astype(jnp.float32))
+            oh_src = jax.nn.one_hot(src, R, dtype=jnp.float32)
+            # scatter winner data to its assigned lane; history arrays go
+            # through src composition (winner w inherits lane src[w]'s)
+            to_lane = lambda x_w: jnp.einsum("nws,nw->ns", lane_oh, x_w)
+            nxt = to_lane(nxt_w).astype(jnp.int32)
+            seq_lengths_w = jnp.einsum("nws,ns->nw", oh_src, seq_lengths)
+            stop_w = jnp.einsum("nws,ns->nw", oh_src,
+                                is_stopped.astype(jnp.float32))
+            tok_w = jnp.einsum("nws,nse->nwe", oh_src,
+                               tokens.astype(jnp.float32))
+            seq_lengths = to_lane(seq_lengths_w)
+            is_stopped = to_lane(stop_w) > 0.5
+            tokens = jnp.einsum("nws,nwe->nse", lane_oh,
+                                tok_w).astype(jnp.int32)
+            scores = to_lane(top_avg) * seq_lengths
+            src_of_lane = to_lane(src.astype(jnp.float32)).astype(jnp.int32)
+            global_src = (jnp.arange(N)[:, None] * R
+                          + src_of_lane).reshape(-1)
+            if bc.skip_reorder_unsafe:
+                pass
+            elif bc.rowmajor_cache and bc.pallas_reorder:
+                gen_cache = copy_forked_rows(gen_cache["k"], gen_cache["v"],
+                                             global_src)
+            else:
+                # full gather computes the same values (copied rows match,
+                # uncopied rows were dead) — CPU / layer-major fallback
+                gen_cache = _reorder_gen_cache(gen_cache, global_src, bc)
+        elif bc.onehot_gather:
             # XLA lowers dynamic-index gathers on TPU through a scalar path
             # (and whole-cache selects) — measured ~7ms/step at batch 64.
             # One-hot contractions are exact (single 1.0 coefficient, f32
@@ -251,17 +343,26 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
             else:
                 global_src = (jnp.arange(N)[:, None] * R + src).reshape(-1)
                 gen_cache = _reorder_gen_cache(gen_cache, global_src, bc)
-        scores = top_avg * seq_lengths
+        if not use_lanes:
+            scores = top_avg * seq_lengths
         tokens = tokens.at[:, :, i].set(nxt)
         is_stopped = jnp.logical_or(is_stopped, nxt == bc.stop_token)
         cur = gpt2.embed_tokens(params, nxt.reshape(N * R))
         return (i + 1, tokens, scores, seq_lengths, is_stopped, cur,
-                gen_cache, anc)
+                gen_cache, anc, lane_of_rank)
 
     carry = (jnp.asarray(1, jnp.int32), tokens, scores, seq_lengths,
-             is_stopped, cur, gen_cache, anc)
-    _, tokens, scores, seq_lengths, is_stopped, _, _, _ = lax.while_loop(
-        cond, body, carry)
+             is_stopped, cur, gen_cache, anc, lane_of_rank)
+    (_, tokens, scores, seq_lengths, is_stopped, _, _, _,
+     lane_of_rank) = lax.while_loop(cond, body, carry)
+
+    if use_lanes:
+        # restore the reference's rank ordering of the returned beams
+        lp = jax.nn.one_hot(lane_of_rank, R, dtype=jnp.float32)  # [N, W, S]
+        tokens = jnp.einsum("nws,nse->nwe", lp,
+                            tokens.astype(jnp.float32)).astype(jnp.int32)
+        seq_lengths = jnp.einsum("nws,ns->nw", lp, seq_lengths)
+        scores = jnp.einsum("nws,ns->nw", lp, scores)
 
     final_scores = scores / seq_lengths
     order = jnp.argsort(-final_scores, axis=1)
@@ -277,8 +378,17 @@ def beam_search(params: Any, cfg: gpt2.GPT2Config, prefix_embeds: jnp.ndarray,
     where `order` ranks beams by length-normalized score descending.
     """
     if bc.pallas_reorder is None:
-        on_tpu = jax.default_backend() == "tpu" or any(
-            d.platform == "tpu" for d in jax.devices())
+        # Explicit override first (CAPDEC_PALLAS_REORDER=0/1): the fast
+        # path is load-bearing, and experimental TPU plugins could rename
+        # the platform — device_kind is the fallback signal.
+        import os
+        env = os.environ.get("CAPDEC_PALLAS_REORDER")
+        if env is not None:
+            on_tpu = env not in ("0", "false", "False")
+        else:
+            on_tpu = (jax.default_backend() == "tpu"
+                      or any(d.platform == "tpu" or "TPU" in d.device_kind
+                             for d in jax.devices()))
         bc = dataclasses.replace(bc, pallas_reorder=on_tpu)
     return _beam_search_impl(params, cfg, bc, prefix_embeds)
 

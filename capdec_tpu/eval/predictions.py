@@ -51,6 +51,10 @@ class PredictConfig:
     # optional device mesh: image batches shard over the dp axis (eval
     # fan-out is embarrassingly parallel)
     mesh: Optional[Any] = None
+    # Drop records failing this predicate (e.g. missing image files —
+    # the reference skips them entirely, predictions_runner.py:206-209;
+    # scoring a zero-embedding garbage caption would deflate the metrics).
+    record_filter: Optional[Callable[[dict], bool]] = None
 
 
 def _l2norm(x, axis=-1):
@@ -86,8 +90,18 @@ def run_predictions(records: List[dict],
     paraphrase_embeds: dict = {}
     gap = ablation.ImageTextGapTracker()
     B = cfg.batch_size
+    n_filtered = 0
     for start in range(0, len(records), B):
         chunk = records[start:start + B]
+        if cfg.record_filter is not None:
+            kept = [d for d in chunk if cfg.record_filter(d)]
+            n_filtered += len(chunk) - len(kept)
+            if len(kept) < len(chunk):
+                print(f"skips= {n_filtered} (records dropped by filter)",
+                      flush=True)
+            chunk = kept
+            if not chunk:
+                continue
         with timer:
             prefix = np.asarray(embed_batch_fn(chunk), np.float32)
             if not cfg.dont_normalize_prefix:
@@ -97,8 +111,14 @@ def run_predictions(records: List[dict],
             if bridger_fn is not None:
                 prefix = np.asarray(bridger_fn(prefix), np.float32)
             prefix_dev = jnp.asarray(prefix)
-            if shard is not None and prefix.shape[0] % cfg.mesh.shape["dp"] == 0:
-                prefix_dev = jax.device_put(prefix_dev, shard)
+            if shard is not None:
+                if prefix.shape[0] % cfg.mesh.shape["dp"] == 0:
+                    prefix_dev = jax.device_put(prefix_dev, shard)
+                else:
+                    # no silent caps: a ragged final batch runs unsharded
+                    print(f"[mesh] ragged batch of {prefix.shape[0]} not "
+                          f"divisible by dp={cfg.mesh.shape['dp']}; running "
+                          f"unsharded", flush=True)
             prefix_embeds = map_fn(params, model_cfg, prefix_dev)
             if cfg.beam:
                 toks, lens, scores, order = beam_search(

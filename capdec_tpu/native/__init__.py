@@ -1,6 +1,13 @@
-"""Native (C++) components: build-on-first-use shared libraries."""
+"""Native (C++) components: build-on-first-use shared libraries.
+
+Binaries are never committed: the artifact name embeds a hash of the
+sources, so a checkout always compiles the reviewed code on first use and
+a stale cached binary can never shadow an edited source file (mtimes are
+arbitrary on fresh checkouts).
+"""
 from __future__ import annotations
 
+import hashlib
 import os
 import subprocess
 import sys
@@ -9,12 +16,17 @@ _NATIVE_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
 def build_library(name: str, sources, extra_flags=()) -> str:
-    """Compile `sources` into {name}.so next to this file (cached by mtime).
-    Returns the .so path; raises on compiler failure."""
-    so_path = os.path.join(_NATIVE_DIR, f"{name}.so")
+    """Compile `sources` into {name}-{srchash}.so next to this file
+    (cache keyed by source content). Returns the .so path; raises on
+    compiler failure."""
     srcs = [os.path.join(_NATIVE_DIR, s) for s in sources]
-    if os.path.isfile(so_path) and all(
-            os.path.getmtime(so_path) >= os.path.getmtime(s) for s in srcs):
+    h = hashlib.sha256()
+    for s in srcs:
+        with open(s, "rb") as f:
+            h.update(f.read())
+    h.update(" ".join(extra_flags).encode())
+    so_path = os.path.join(_NATIVE_DIR, f"{name}-{h.hexdigest()[:12]}.so")
+    if os.path.isfile(so_path):
         return so_path
     cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
            *extra_flags, *srcs, "-o", so_path]

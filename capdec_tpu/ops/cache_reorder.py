@@ -77,12 +77,12 @@ def reorder_cache_rows_bounded(k: jnp.ndarray, v: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[pltpu.SemaphoreType.DMA((2 * n_chunks,))],
     )
@@ -141,10 +141,10 @@ def reorder_cache_rows_flight(k: jnp.ndarray, v: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[pltpu.SemaphoreType.DMA((n_sems,))],
     )
     k2, v2 = pl.pallas_call(
@@ -152,6 +152,75 @@ def reorder_cache_rows_flight(k: jnp.ndarray, v: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
                    jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(src.astype(jnp.int32), k, v)
+    return {"k": k2, "v": v2}
+
+
+def _fork_kernel_factory(B: int, wave: int):
+    def kernel(src_ref, k_in, v_in, k_out, v_out, sems):
+        # In-place (aliased buffers): only rows whose source differs are
+        # copied. The lane assignment guarantees a written row is never a
+        # source (a lane keeps its own row iff its beam survived there),
+        # so conditional copies are hazard-free in any order.
+        for w0 in range(0, B, wave):
+            n = min(wave, B - w0)
+            for j in range(n):
+                b = w0 + j
+                s = src_ref[b]
+
+                @pl.when(s != b)
+                def _(b=b, s=s, j=j):
+                    pltpu.make_async_copy(k_in.at[s], k_out.at[b],
+                                          sems.at[2 * j]).start()
+                    pltpu.make_async_copy(v_in.at[s], v_out.at[b],
+                                          sems.at[2 * j + 1]).start()
+            for j in range(n):
+                b = w0 + j
+                s = src_ref[b]
+
+                @pl.when(s != b)
+                def _(b=b, s=s, j=j):
+                    pltpu.make_async_copy(k_in.at[s], k_out.at[b],
+                                          sems.at[2 * j]).wait()
+                    pltpu.make_async_copy(v_in.at[s], v_out.at[b],
+                                          sems.at[2 * j + 1]).wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "wave"))
+def copy_forked_rows(k: jnp.ndarray, v: jnp.ndarray, src: jnp.ndarray,
+                     wave: int = 64, interpret: bool = False
+                     ) -> Dict[str, jnp.ndarray]:
+    """In-place row gather for lane-assigned beam search: row b of k/v
+    [B, ...] is overwritten with row src[b] ONLY where src[b] != b.
+
+    Beams that survive in their own lane (src[b] == b — the common case;
+    stopped beams always) move zero bytes, so per-step traffic is
+    proportional to the number of actual beam forks instead of the whole
+    cache. Requires the lane-assignment invariant: src[b] != b implies no
+    b' reads row b (see decode/beam.py lane assignment)."""
+    B = k.shape[0]
+    kernel = _fork_kernel_factory(B, wave)
+    n_sems = 2 * min(wave, B)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((n_sems,))],
+    )
+    k2, v2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        input_output_aliases={1: 0, 2: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(src.astype(jnp.int32), k, v)
@@ -197,10 +266,10 @@ def reorder_rows_leading(k: jnp.ndarray, v: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[pltpu.SemaphoreType.DMA((n_sems,))],
     )
     k2, v2 = pl.pallas_call(

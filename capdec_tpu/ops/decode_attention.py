@@ -106,9 +106,14 @@ def _kernel(step_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref, gv_ref,
     p_all = spread(probs.reshape(TB * S_total, 128)).reshape(TB, S_total, D)
     out = jnp.sum(p_all[:, :K, :] * pv_rep.astype(jnp.bfloat16),
                   axis=1, dtype=jnp.float32)
-    out = out + jnp.sum(p_all[:, K:K + E, :]
-                        * gv_ref[:, :, 0, :].astype(jnp.bfloat16),
-                        axis=1, dtype=jnp.float32)
+    # Zero the value products of invalid slots through `where`, mirroring
+    # gpt2.decode_step: slots >= step may hold arbitrary bits (the bounded
+    # reorder skips them) and 0 * NaN == NaN would poison the sum.
+    gen_prod = jnp.where(slot_ids < step,
+                         p_all[:, K:K + E, :]
+                         * gv_ref[:, :, 0, :].astype(jnp.bfloat16),
+                         jnp.bfloat16(0.0))
+    out = out + jnp.sum(gen_prod, axis=1, dtype=jnp.float32)
     out = out + p_all[:, K + E, :].astype(jnp.float32) * v_new.astype(jnp.float32)
     out_ref[:, 0, :] = out.astype(out_ref.dtype)
 
@@ -133,9 +138,13 @@ def beam_decode_attention(q: jnp.ndarray, k_new: jnp.ndarray,
     N, K, _ = pk.shape
     E = gk.shape[1]
     R = beams_per_image
-    TB = min(block_beams, B)
-    while B % TB or TB % R:
-        TB -= 1
+    if B % R:
+        raise ValueError(f"batch {B} is not a multiple of beams_per_image {R}")
+    # Largest multiple of R that divides B, capped near block_beams; always
+    # terminates at TB=R (R divides B), so beam sizes > block_beams work.
+    TB = R * max(1, min(block_beams, B) // R)
+    while B % TB:
+        TB -= R
     TI = TB // R
     grid = (B // TB,)
     g = _head_matrix(D, head_dim)

@@ -186,6 +186,51 @@ def test_beam_knobs_do_not_change_results(models):
     np.testing.assert_array_equal(outs[0][3], outs[1][3])
 
 
+def test_lane_assignment_invariants():
+    """_assign_lanes: bijection onto lanes, primaries keep their lane, and
+    a written lane (src_of_lane != lane) is never read as a source."""
+    from capdec_tpu.decode.beam import _assign_lanes
+    rng = np.random.RandomState(0)
+    R = 5
+    for _ in range(50):
+        src = jnp.asarray(rng.randint(0, R, (3, R)), jnp.int32)
+        lane_oh, lane_of_rank = jax.tree.map(np.asarray,
+                                             _assign_lanes(src, R))
+        src = np.asarray(src)
+        for n in range(3):
+            lanes = lane_of_rank[n]
+            assert sorted(lanes) == list(range(R))  # bijection
+            # first winner of each source sits in that source lane
+            seen = set()
+            for w in range(R):
+                if src[n, w] not in seen:
+                    assert lanes[w] == src[n, w], (src[n], lanes)
+                    seen.add(src[n, w])
+            # src_of_lane[l] != l  =>  no winner reads lane l
+            src_of_lane = {int(lanes[w]): int(src[n, w]) for w in range(R)}
+            for l, s in src_of_lane.items():
+                if s != l:
+                    assert l not in src_of_lane.values() or \
+                        all(v != l for v in src_of_lane.values())
+
+
+def test_beam_lane_mode_matches_rank_mode(models):
+    """Lane-assigned beams (fork-copy placement) must be bit-identical to
+    the rank-ordered reorder path."""
+    _, params, cfg = models
+    prefixes = _random_prefixes(3, 6, SMALL["n_embd"], seed=31)
+    from capdec_tpu.decode.beam import BeamConfig as BC
+    outs = []
+    for lanes in (True, False):
+        bc = BC(beam_size=4, entry_length=12, stop_token=13,
+                lane_beams=lanes, pallas_reorder=False)
+        outs.append(jax.tree.map(np.asarray,
+                                 beam_search(params, cfg,
+                                             jnp.asarray(prefixes), bc)))
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_beam_cache_layouts_identical(models):
     """Row-major [B, L, E, D] and layer-major [L, B, E, D] gen caches give
     bit-identical results."""
@@ -193,14 +238,16 @@ def test_beam_cache_layouts_identical(models):
     prefixes = _random_prefixes(3, 6, SMALL["n_embd"], seed=29)
     from capdec_tpu.decode.beam import BeamConfig as BC
     outs = []
-    for rm in (True, False):
+    for kw in (dict(rowmajor_cache=True), dict(rowmajor_cache=False),
+               dict(rowmajor_cache=True, mxu_reorder=True)):
         bc = BC(beam_size=4, entry_length=10, stop_token=13,
-                rowmajor_cache=rm, pallas_reorder=False)
+                pallas_reorder=False, **kw)
         outs.append(jax.tree.map(np.asarray,
                                  beam_search(params, cfg,
                                              jnp.asarray(prefixes), bc)))
-    for a, b in zip(outs[0], outs[1]):
-        np.testing.assert_array_equal(a, b)
+    for other in outs[1:]:
+        for a, b in zip(outs[0], other):
+            np.testing.assert_array_equal(a, b)
 
 
 @pytest.mark.parametrize("onehot", [True, False])

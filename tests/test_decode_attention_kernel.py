@@ -61,3 +61,43 @@ def test_kernel_matches_oracle(step):
     np.testing.assert_allclose(np.asarray(gv2[:, step]), v_new, atol=1e-2)
     # other slots untouched
     np.testing.assert_array_equal(np.asarray(gk2[:, :step]), gk[:, :step])
+
+
+def test_kernel_beam_size_larger_than_block(monkeypatch):
+    """Beam sizes > block_beams must pick a valid block (the old search
+    decremented past zero -> ZeroDivisionError)."""
+    rng = np.random.RandomState(0)
+    N, R, K, E, D, hd = 1, 24, 4, 8, 128, 64
+    B = N * R
+    step = 2
+    mk = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
+    gk, gv = mk(B, E, D), mk(B, E, D)
+    gk[:, step:] = 0.0
+    gv[:, step:] = 0.0
+    out, gk2, gv2 = beam_decode_attention(
+        jnp.asarray(mk(B, D)), jnp.asarray(mk(B, D)), jnp.asarray(mk(B, D)),
+        jnp.asarray(mk(N, K, D)), jnp.asarray(mk(N, K, D)),
+        jnp.asarray(gk), jnp.asarray(gv),
+        jnp.asarray(step, jnp.int32), beams_per_image=R, head_dim=hd,
+        block_beams=20, interpret=True)
+    assert out.shape == (B, D)
+
+
+def test_kernel_nan_safe_with_garbage_tail_slots():
+    """Slots >= step may hold uninitialized garbage (bounded reorder);
+    NaN/Inf there must not poison the value sum."""
+    rng = np.random.RandomState(1)
+    N, R, K, E, D, hd = 2, 5, 4, 8, 128, 64
+    B = N * R
+    step = 3
+    mk = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
+    gk, gv = mk(B, E, D), mk(B, E, D)
+    gk[:, step:] = np.nan
+    gv[:, step:] = np.inf
+    out, _, _ = beam_decode_attention(
+        jnp.asarray(mk(B, D)), jnp.asarray(mk(B, D)), jnp.asarray(mk(B, D)),
+        jnp.asarray(mk(N, K, D)), jnp.asarray(mk(N, K, D)),
+        jnp.asarray(gk), jnp.asarray(gv),
+        jnp.asarray(step, jnp.int32), beams_per_image=R, head_dim=hd,
+        interpret=True)
+    assert np.isfinite(np.asarray(out)).all()

@@ -119,3 +119,23 @@ def test_bridger_identity_init_and_training(tmp_path):
     back = bridger_lib.bridger_from_state_dict(load_state_dict(path))
     for a, b in zip(trained["layers"], back["layers"]):
         np.testing.assert_allclose(a["w"], b["w"], atol=1e-6)
+
+
+def test_record_filter_drops_missing_images():
+    """Records failing the filter (e.g. missing image files) are dropped
+    entirely — not zero-embedded and scored (reference skip behavior,
+    predictions_runner.py:206-209)."""
+    params = caption_model.init_params(jax.random.PRNGKey(0), TINY)
+    records = [{"image_id": i, "clip_embedding": i} for i in range(6)]
+    prefixes = np.random.RandomState(0).randn(6, 16).astype(np.float32)
+    embed_fn = pred_lib.make_pickle_embed_fn(prefixes)
+
+    from capdec_tpu.decode import ToppConfig
+    cfg = pred_lib.PredictConfig(
+        beam=False, batch_size=4,
+        topp_config=ToppConfig(entry_length=8, stop_token=ord("."),
+                               extra_stop_token=ord(".")),
+        record_filter=lambda d: d["image_id"] % 3 != 0)
+    results = pred_lib.run_predictions(records, embed_fn, params, TINY,
+                                       ByteTokenizer(), cfg)
+    assert sorted(r["image_id"] for r in results) == [1, 2, 4, 5]
