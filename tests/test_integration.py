@@ -5,6 +5,7 @@ import os
 import pickle
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -86,3 +87,42 @@ def test_full_pipeline(tmp_path):
     scores = metrics.score_predictions(preds, gt)
     assert scores["num_images"] == 16
     assert 0.0 <= scores["Bleu_1"] <= 1.0
+
+
+@pytest.mark.slow
+def test_quality_regression_synthetic_convergence(tmp_path):
+    """End-to-end quality canary (VERDICT r1 item 7): until real COCO
+    weights/corpora are available, train the tiny model to convergence on
+    the synthetic fixture corpus and pin the metric chain — quality can't
+    silently rot anywhere in train -> checkpoint -> decode -> metrics.
+    Measured headroom: 30 epochs reaches CIDEr ~7.5 / BLEU-1 ~1.0."""
+    data_path = str(tmp_path / "corpus.pkl")
+    make_corpus(data_path)
+    tok = ByteTokenizer()
+    ds = data_lib.load_caption_dataset(data_path, TINY.prefix_length, tok)
+    loop_cfg = loop_lib.TrainLoopConfig(
+        epochs=30, batch_size=16, lr=3e-3, warmup_steps=0, save_every=100,
+        out_dir=str(tmp_path / "run"), prefix="tiny", log_every=10000,
+        save_state=False)
+    result = loop_lib.train(TINY, loop_cfg, ds,
+                            step_lib.NoiseConfig(variance=0.001))
+
+    with open(data_path, "rb") as f:
+        corpus = pickle.load(f)
+    records = [{"image_id": c["image_id"],
+                "clip_embedding": c["clip_embedding"],
+                "caption": c["caption"]} for c in corpus["captions"][:16]]
+    embed_fn = pred_lib.make_pickle_embed_fn(corpus["clip_embedding"])
+    pcfg = pred_lib.PredictConfig(
+        beam=True, batch_size=16,
+        beam_config=BeamConfig(beam_size=3, entry_length=14,
+                               stop_token=ord(".")))
+    preds = pred_lib.run_predictions(records, embed_fn, result["params"],
+                                     TINY, tok, pcfg)
+    gt = {"images": [{"id": r["image_id"]} for r in records],
+          "annotations": [{"image_id": r["image_id"], "caption": r["caption"],
+                           "id": i} for i, r in enumerate(records)]}
+    scores = metrics.score_predictions(preds, gt)
+    assert scores["CIDEr"] >= 3.0, scores
+    assert scores["Bleu_1"] >= 0.8, scores
+    assert scores["METEOR"] >= 0.5, scores
