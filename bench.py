@@ -96,24 +96,33 @@ def main():
     tx = optim_lib.make_optimizer(
         2e-5, warmup_steps=5000, total_steps=100000,
         trainable_mask=caption_model.trainable_mask(params_t, cfg_t))
+    # separate copy for the baseline below: the fused step DONATES its
+    # state, deleting these buffers
+    p_ref = jax.tree.map(lambda a: a.copy(), params_t)
+    o_ref = tx.init(p_ref)
     state = step_lib.init_train_state(params_t, tx)
     host_batch = {
         "tokens": np.asarray(rng.randint(1, 50257, (bs, T)), np.int32),
         "mask": np.ones((bs, 80), np.float32),
         "prefix": np.asarray(rng.randn(bs, 640), np.float32),
     }
-    batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
-    train_step = step_lib.make_train_step(
+    # sustained-training path: K steps per compiled dispatch (lax.scan,
+    # bit-identical to K single steps — see train/step.py); single-step
+    # dispatch is runtime-overhead-bound at this model size.
+    K = 16
+    stacked = {k: jnp.asarray(np.broadcast_to(v, (K,) + v.shape))
+               for k, v in host_batch.items()}
+    multi_step = step_lib.make_train_multi_step(
         cfg_t, tx, step_lib.NoiseConfig(variance=0.016))
     key = jax.random.PRNGKey(2)
-    state, _ = train_step(state, batch, key)  # compile
+    state, _ = multi_step(state, stacked, key)  # compile
     jax.block_until_ready(state["step"])
-    iters = 30
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, loss = train_step(state, batch, key)
-    jax.block_until_ready(loss)
-    train_sps = bs / ((time.perf_counter() - t0) / iters)
+        state, losses = multi_step(state, stacked, key)
+    jax.block_until_ready(losses)
+    train_sps = bs * K / ((time.perf_counter() - t0) / iters)
 
     # reference-structure baseline: separate grad/update dispatches,
     # per-step H2D + loss.item() sync
@@ -129,7 +138,6 @@ def main():
     grad_step = jax.jit(jax.value_and_grad(loss_fn))
     upd_step = jax.jit(lambda g, o, p: tx.update(g, o, p))
     app_step = jax.jit(optax.apply_updates)
-    p_ref, o_ref = params_t, tx.init(params_t)
     b_dev = {k: jnp.asarray(v) for k, v in host_batch.items()}
     l, g = grad_step(p_ref, b_dev, key)
     u, o_ref = upd_step(g, o_ref, p_ref)

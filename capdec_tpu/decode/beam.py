@@ -223,14 +223,28 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
     lane_of_rank = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32),
                                     (N, R))
     use_lanes = bc.lane_beams and not bc.ancestry
+    # Lane mode applies the fork-copy lazily at the START of the next
+    # step: the loop carry is then produced by the native cache write
+    # (dynamic_update_slice, which XLA aliases in place) instead of the
+    # Pallas custom call (measured ~1.3 ms/step of defensive carry
+    # copies). Identity at step 1 — zero rows move.
+    pending_src = jnp.arange(N * R, dtype=jnp.int32)
 
     def cond(carry):
-        i, _, _, _, stopped, _, _, _, _ = carry
+        i, _, _, _, stopped, _, _, _, _, _ = carry
         return jnp.logical_and(i < E, jnp.logical_not(jnp.all(stopped)))
 
     def body(carry):
         (i, tokens, scores, seq_lengths, is_stopped, cur, gen_cache, anc,
-         lane_of_rank) = carry
+         lane_of_rank, pending_src) = carry
+        if use_lanes and not bc.skip_reorder_unsafe:
+            # deferred fork fix-up for the PREVIOUS selection; whole rows
+            # are copied (the slot written below is overwritten anyway)
+            if bc.rowmajor_cache and bc.pallas_reorder:
+                gen_cache = copy_forked_rows(gen_cache["k"],
+                                             gen_cache["v"], pending_src)
+            else:
+                gen_cache = _reorder_gen_cache(gen_cache, pending_src, bc)
         logits, gen_cache = gpt2.decode_step(
             params, cfg, cur, prefix_cache, gen_cache, i - 1,
             anc_oh=anc if bc.ancestry else None,
@@ -281,17 +295,9 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
                                 tok_w).astype(jnp.int32)
             scores = to_lane(top_avg) * seq_lengths
             src_of_lane = to_lane(src.astype(jnp.float32)).astype(jnp.int32)
-            global_src = (jnp.arange(N)[:, None] * R
-                          + src_of_lane).reshape(-1)
-            if bc.skip_reorder_unsafe:
-                pass
-            elif bc.rowmajor_cache and bc.pallas_reorder:
-                gen_cache = copy_forked_rows(gen_cache["k"], gen_cache["v"],
-                                             global_src)
-            else:
-                # full gather computes the same values (copied rows match,
-                # uncopied rows were dead) — CPU / layer-major fallback
-                gen_cache = _reorder_gen_cache(gen_cache, global_src, bc)
+            # applied lazily at the start of the next iteration
+            pending_src = (jnp.arange(N)[:, None] * R
+                           + src_of_lane).reshape(-1)
         elif bc.onehot_gather:
             # XLA lowers dynamic-index gathers on TPU through a scalar path
             # (and whole-cache selects) — measured ~7ms/step at batch 64.
@@ -349,12 +355,12 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
         is_stopped = jnp.logical_or(is_stopped, nxt == bc.stop_token)
         cur = gpt2.embed_tokens(params, nxt.reshape(N * R))
         return (i + 1, tokens, scores, seq_lengths, is_stopped, cur,
-                gen_cache, anc, lane_of_rank)
+                gen_cache, anc, lane_of_rank, pending_src)
 
     carry = (jnp.asarray(1, jnp.int32), tokens, scores, seq_lengths,
-             is_stopped, cur, gen_cache, anc, lane_of_rank)
+             is_stopped, cur, gen_cache, anc, lane_of_rank, pending_src)
     (_, tokens, scores, seq_lengths, is_stopped, _, _, _,
-     lane_of_rank) = lax.while_loop(cond, body, carry)
+     lane_of_rank, _) = lax.while_loop(cond, body, carry)
 
     if use_lanes:
         # restore the reference's rank ordering of the returned beams

@@ -56,6 +56,13 @@ class TrainLoopConfig:
     # train state is saved on the way out, so a bounded run + `resume=True`
     # is equivalent to one uninterrupted run.
     max_steps: Optional[int] = None
+    # Run K optimizer steps per compiled dispatch (lax.scan over stacked
+    # batches) — bit-identical to K single steps, amortizes per-dispatch
+    # runtime overhead, which dominates single-step wall time at this
+    # model size. Checkpoint/log cadences trigger on crossing their
+    # boundaries (may run up to K-1 steps late); max_steps may overshoot
+    # by up to K-1.
+    steps_per_dispatch: int = 1
 
 
 def train(model_cfg: caption_model.CaptionModelConfig,
@@ -88,6 +95,9 @@ def train(model_cfg: caption_model.CaptionModelConfig,
     state = step_lib.init_train_state(params, tx)
     train_step = step_lib.make_train_step(model_cfg, tx, noise_cfg)
     eval_step = step_lib.make_eval_step(model_cfg)
+    K = max(1, loop_cfg.steps_per_dispatch)
+    multi_step = (step_lib.make_train_multi_step(model_cfg, tx, noise_cfg)
+                  if K > 1 else None)
 
     loss_train, loss_val = [], []
     start_step = 0
@@ -124,28 +134,41 @@ def train(model_cfg: caption_model.CaptionModelConfig,
         # When resuming mid-epoch, replay the epoch's deterministic batch
         # order (seeded by seed+epoch) and skip the already-trained ones.
         skip = max(0, start_step - epoch * steps)
-        for bi, batch in enumerate(
-                data_lib.iterate_batches(ds, loop_cfg.batch_size,
-                                         seed=loop_cfg.seed, epoch=epoch)):
-            if bi < skip:
-                continue
-            if batch_shard is not None:
-                batch = {k: jax.device_put(v, batch_shard)
-                         for k, v in batch.items()}
-            state, loss = train_step(state, batch, base_key)
-            pending_losses.append(loss)
-            global_step += 1
-            nb += 1
-            ntok = int(batch["tokens"].shape[0] * batch["tokens"].shape[1])
-            meter.update(int(batch["tokens"].shape[0]), ntok)
-            if global_step % loop_cfg.log_every == 0:
+        stop_now = False
+
+        def run_dispatch(batches):
+            """One compiled dispatch over 1..K batches; returns stop flag."""
+            nonlocal state, global_step, nb, stop_now
+            k = len(batches)
+            if k == 1:
+                batch = batches[0]
+                if batch_shard is not None:
+                    batch = {key_: jax.device_put(v, batch_shard)
+                             for key_, v in batch.items()}
+                state, loss = train_step(state, batch, base_key)
+                pending_losses.append(jnp.reshape(loss, (1,)))
+            else:
+                stacked = {key_: np.stack([np.asarray(b[key_])
+                                           for b in batches])
+                           for key_ in batches[0]}
+                if batch_shard is not None:
+                    sb = mesh_lib.stacked_batch_sharding(mesh)
+                    stacked = {key_: jax.device_put(v, sb)
+                               for key_, v in stacked.items()}
+                state, losses = multi_step(state, stacked, base_key)
+                pending_losses.append(losses)
+            global_step += k
+            nb += k
+            bs0 = batches[0]["tokens"].shape
+            meter.update(int(bs0[0]) * k, int(bs0[0] * bs0[1]) * k)
+            if global_step % loop_cfg.log_every < k:
                 metrics.log(step=global_step, epoch=epoch,
-                            loss=float(pending_losses[-1]),
+                            loss=float(pending_losses[-1][-1]),
                             lr=optim_lib.linear_warmup_lr_py(
                                 loop_cfg.lr, loop_cfg.warmup_steps,
                                 total_steps, global_step),
                             **meter.rates())
-            if global_step % loop_cfg.latest_every_steps == 0:
+            if global_step % loop_cfg.latest_every_steps < k:
                 ckpt_lib.save_caption_checkpoint(
                     state["params"], model_cfg,
                     ckpt_lib.latest_checkpoint_path(loop_cfg.out_dir,
@@ -156,13 +179,34 @@ def train(model_cfg: caption_model.CaptionModelConfig,
                     # step counter (the reference deficiency, train.py:359).
                     resume_lib.save_train_state(state, loop_cfg.out_dir)
             if loop_cfg.max_steps and global_step >= loop_cfg.max_steps:
-                if loop_cfg.save_state:
-                    resume_lib.save_train_state(state, loop_cfg.out_dir)
-                metrics.close()
-                print(f">>> Stopped at max_steps={global_step}", flush=True)
-                return {"params": state["params"], "loss_per_epoch":
-                        {"train": loss_train, "val": loss_val}}
-        acc = float(jnp.sum(jnp.stack(pending_losses))) if pending_losses else 0.0
+                stop_now = True
+
+        buf = []
+        for bi, batch in enumerate(
+                data_lib.iterate_batches(ds, loop_cfg.batch_size,
+                                         seed=loop_cfg.seed, epoch=epoch)):
+            if bi < skip:
+                continue
+            buf.append(batch)
+            if len(buf) == K:
+                run_dispatch(buf)
+                buf = []
+                if stop_now:
+                    break
+        if not stop_now:
+            for batch in buf:  # epoch leftover (< K): single steps
+                run_dispatch([batch])
+                if stop_now:
+                    break
+        if stop_now:
+            if loop_cfg.save_state:
+                resume_lib.save_train_state(state, loop_cfg.out_dir)
+            metrics.close()
+            print(f">>> Stopped at max_steps={global_step}", flush=True)
+            return {"params": state["params"], "loss_per_epoch":
+                    {"train": loss_train, "val": loss_val}}
+        acc = (float(jnp.sum(jnp.concatenate(pending_losses)))
+               if pending_losses else 0.0)
         loss_train.append(acc / max(1, nb))
         print("loss_per_epoch_train: ", loss_train, flush=True)
 

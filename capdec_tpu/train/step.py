@@ -15,6 +15,7 @@ from typing import Any, Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 import optax
+from jax import lax
 
 from ..models import caption_model
 from ..ops import noise as noise_ops
@@ -30,17 +31,23 @@ class NoiseConfig:
     modality_offset: Optional[Any] = None
 
 
-def make_train_step(cfg: caption_model.CaptionModelConfig,
-                    tx: optax.GradientTransformation,
-                    noise_cfg: NoiseConfig,
-                    donate: bool = True) -> Callable:
-    """Returns step(state, batch, key) -> (state, loss). state is a dict
-    {params, opt_state, step}; batch is {tokens, mask, prefix}."""
-
+def _make_step_fn(cfg: caption_model.CaptionModelConfig,
+                  tx: optax.GradientTransformation,
+                  noise_cfg: NoiseConfig) -> Callable:
+    """The un-jitted step body shared by the single- and multi-step APIs."""
     offset = (jnp.asarray(noise_cfg.modality_offset)
               if noise_cfg.modality_offset is not None else None)
 
     def loss_fn(params, batch, key):
+        if cfg.only_prefix:
+            # Frozen GPT-2 (reference ClipCaptionPrefix): stop_gradient on
+            # the frozen subtree lets XLA elide its weight-gradient matmuls
+            # (~1/3 of the step FLOPs). The optimizer mask already zeroes
+            # these updates, so results are unchanged.
+            mask = caption_model.trainable_mask(params, cfg)
+            params = jax.tree.map(
+                lambda p, m: p if m else jax.lax.stop_gradient(p),
+                params, mask)
         prefix = noise_ops.noise_injection(
             key, batch["prefix"].astype(jnp.float32),
             variance=noise_cfg.variance,
@@ -63,7 +70,41 @@ def make_train_step(cfg: caption_model.CaptionModelConfig,
         return {"params": params, "opt_state": opt_state,
                 "step": state["step"] + 1}, loss
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return step_fn
+
+
+def make_train_step(cfg: caption_model.CaptionModelConfig,
+                    tx: optax.GradientTransformation,
+                    noise_cfg: NoiseConfig,
+                    donate: bool = True) -> Callable:
+    """Returns step(state, batch, key) -> (state, loss). state is a dict
+    {params, opt_state, step}; batch is {tokens, mask, prefix}."""
+    return jax.jit(_make_step_fn(cfg, tx, noise_cfg),
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_train_multi_step(cfg: caption_model.CaptionModelConfig,
+                          tx: optax.GradientTransformation,
+                          noise_cfg: NoiseConfig,
+                          donate: bool = True) -> Callable:
+    """K sequential optimizer steps in ONE compiled program via lax.scan.
+
+    multi(state, batches, key) -> (state, losses [K]) where every leaf of
+    `batches` is stacked [K, ...]. Bit-identical to K calls of the single
+    step (same per-step noise keys, folded by the running step counter);
+    amortizes per-dispatch host/runtime overhead K-fold, which dominates
+    the single-step wall time for this model size.
+    """
+    single = _make_step_fn(cfg, tx, noise_cfg)
+
+    def multi(state, batches, key):
+        def body(st, batch):
+            st, loss = single(st, batch, key)
+            return st, loss
+
+        return lax.scan(body, state, batches)
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(cfg: caption_model.CaptionModelConfig) -> Callable:

@@ -124,3 +124,82 @@ def test_checkpoint_save_load_round_trip(tmp_path):
     back = ckpt.load_caption_checkpoint(path, cfg)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_multi_step_matches_single_steps():
+    """make_train_multi_step(K) is bit-identical to K single steps (same
+    per-step noise keys via the folded step counter)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from capdec_tpu.models import caption_model, gpt2
+    from capdec_tpu.train import optim as optim_lib
+    from capdec_tpu.train import step as step_lib
+
+    cfg = caption_model.CaptionModelConfig(
+        prefix_length=3, clip_length=3, prefix_size=8, num_layers=1,
+        mapping_type="mlp",
+        gpt2=gpt2.GPT2Config(vocab_size=50, n_positions=32, n_embd=16,
+                             n_layer=1, n_head=2))
+    params = caption_model.init_params(jax.random.PRNGKey(0), cfg)
+    tx = optim_lib.make_optimizer(1e-3, 0, 100)
+    noise = step_lib.NoiseConfig(variance=0.01)
+    single = step_lib.make_train_step(cfg, tx, noise, donate=False)
+    multi = step_lib.make_train_multi_step(cfg, tx, noise, donate=False)
+
+    rng = np.random.RandomState(0)
+    K = 4
+    batches = {
+        "tokens": jnp.asarray(rng.randint(1, 50, (K, 5, 6)), jnp.int32),
+        "mask": jnp.ones((K, 5, 3 + 6), jnp.float32),
+        "prefix": jnp.asarray(rng.randn(K, 5, 8), jnp.float32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    s1 = step_lib.init_train_state(params, tx)
+    losses1 = []
+    for k in range(K):
+        b = {n: v[k] for n, v in batches.items()}
+        s1, l = single(s1, b, key)
+        losses1.append(float(l))
+    s2 = step_lib.init_train_state(params, tx)
+    s2, losses2 = multi(s2, batches, key)
+
+    np.testing.assert_allclose(losses1, np.asarray(losses2), rtol=0, atol=0)
+    for a, b in zip(jax.tree.leaves(s1["params"]),
+                    jax.tree.leaves(s2["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(s2["step"]) == K
+
+
+def test_loop_steps_per_dispatch_equivalent(tmp_path):
+    """The loop with steps_per_dispatch=3 reproduces the K=1 run exactly,
+    including the leftover-batch path (4 steps/epoch, K=3 -> 3+1)."""
+    import sys
+    sys.path.insert(0, "tests")
+    import jax
+    import numpy as np
+    from test_integration import TINY, make_corpus
+    from capdec_tpu.data import dataset as data_lib
+    from capdec_tpu.train import loop as loop_lib
+    from capdec_tpu.train import step as step_lib
+    from capdec_tpu.utils.tokenizer import ByteTokenizer
+
+    data_path = str(tmp_path / "c.pkl")
+    make_corpus(data_path)
+    ds = data_lib.load_caption_dataset(data_path, TINY.prefix_length,
+                                       ByteTokenizer())
+    outs = []
+    for K in (1, 3):
+        cfg = loop_lib.TrainLoopConfig(
+            epochs=2, batch_size=16, lr=2e-3, warmup_steps=0, save_every=10,
+            out_dir=str(tmp_path / f"k{K}"), prefix="t", log_every=1000,
+            seed=5, save_state=False, steps_per_dispatch=K)
+        outs.append(loop_lib.train(TINY, cfg, ds,
+                                   step_lib.NoiseConfig(variance=0.01)))
+    np.testing.assert_allclose(outs[0]["loss_per_epoch"]["train"],
+                               outs[1]["loss_per_epoch"]["train"],
+                               rtol=0, atol=0)
+    for a, b in zip(jax.tree.leaves(outs[0]["params"]),
+                    jax.tree.leaves(outs[1]["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
