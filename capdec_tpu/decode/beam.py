@@ -173,6 +173,12 @@ class BeamConfig:
     # move only the forked rows. Results are bit-identical — a final
     # rank permutation restores the reference beam order.
     lane_beams: bool = True
+    # Staged cache growth (lane mode): run the decode in `cache_stages`
+    # consecutive while-loops with growing slot capacity, so early steps'
+    # fork copies and attention reads touch a small cache instead of the
+    # full entry_length allocation (~40% average traffic saving at 67
+    # steps). 1 disables staging.
+    cache_stages: int = 4
     # Permute the cache with a one-hot MXU matmul (P [B, B] is tiny and
     # VMEM-resident, the cache streams once at matmul bandwidth instead of
     # the ~280 GB/s HBM-to-HBM DMA copy ceiling). Exact: f32 accumulation
@@ -211,7 +217,14 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
     E_pad = -(-E // 8) * 8
     init_cache = (gpt2.init_gen_cache_rowmajor if bc.rowmajor_cache
                   else gpt2.init_gen_cache)
-    gen_cache = init_cache(cfg, N * R, E_pad)
+    use_lanes = bc.lane_beams and not bc.ancestry
+    if use_lanes and bc.cache_stages > 1:
+        S = bc.cache_stages
+        buckets = sorted({min(E_pad, -(-(E_pad * k) // (S * 8)) * 8)
+                          for k in range(1, S + 1)})
+    else:
+        buckets = [E_pad]
+    gen_cache = init_cache(cfg, N * R, buckets[0])
     cur = gpt2.embed_tokens(params, toks0.reshape(N * R))  # [B, D]
     # anc[n, rq, rs, e] == 1: beam rq's slot-e K/V live in cache row rs.
     # Slot e's ancestry is set when it is written (identity: each row
@@ -222,7 +235,6 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
     # where ranks ARE lanes); used by lane_beams to restore rank order.
     lane_of_rank = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32),
                                     (N, R))
-    use_lanes = bc.lane_beams and not bc.ancestry
     # Lane mode applies the fork-copy lazily at the START of the next
     # step: the loop carry is then produced by the native cache write
     # (dynamic_update_slice, which XLA aliases in place) instead of the
@@ -230,9 +242,13 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
     # copies). Identity at step 1 — zero rows move.
     pending_src = jnp.arange(N * R, dtype=jnp.int32)
 
-    def cond(carry):
-        i, _, _, _, stopped, _, _, _, _, _ = carry
-        return jnp.logical_and(i < E, jnp.logical_not(jnp.all(stopped)))
+    def make_cond(stage_cap):
+        def cond(carry):
+            i, _, _, _, stopped, _, _, _, _, _ = carry
+            in_range = jnp.logical_and(i < E, i <= stage_cap)
+            return jnp.logical_and(in_range,
+                                   jnp.logical_not(jnp.all(stopped)))
+        return cond
 
     def body(carry):
         (i, tokens, scores, seq_lengths, is_stopped, cur, gen_cache, anc,
@@ -359,8 +375,26 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
 
     carry = (jnp.asarray(1, jnp.int32), tokens, scores, seq_lengths,
              is_stopped, cur, gen_cache, anc, lane_of_rank, pending_src)
+    for si, bucket in enumerate(buckets):
+        carry = lax.while_loop(make_cond(bucket), body, carry)
+        if si + 1 < len(buckets):
+            # Grow the cache for the next stage; skip the copy when every
+            # beam already stopped (the remaining stages no-op).
+            (i, tokens, scores, seq_lengths, is_stopped, cur, gc, anc,
+             lane_of_rank, pending_src) = carry
+            bigger = init_cache(cfg, N * R, buckets[si + 1])
+            gc = lax.cond(
+                jnp.all(is_stopped),
+                lambda old: bigger,
+                lambda old: jax.tree.map(
+                    lambda big, o: lax.dynamic_update_slice(
+                        big, o.astype(big.dtype), (0, 0, 0, 0)),
+                    bigger, old),
+                gc)
+            carry = (i, tokens, scores, seq_lengths, is_stopped, cur, gc,
+                     anc, lane_of_rank, pending_src)
     (_, tokens, scores, seq_lengths, is_stopped, _, _, _,
-     lane_of_rank, _) = lax.while_loop(cond, body, carry)
+     lane_of_rank, _) = carry
 
     if use_lanes:
         # restore the reference's rank ordering of the returned beams

@@ -231,6 +231,23 @@ def test_beam_lane_mode_matches_rank_mode(models):
         np.testing.assert_array_equal(a, b)
 
 
+def test_beam_staged_cache_matches_unstaged(models):
+    """cache_stages > 1 (growing per-stage slot capacity) is bit-identical
+    to one full-size cache."""
+    _, params, cfg = models
+    prefixes = _random_prefixes(3, 5, SMALL["n_embd"], seed=37)
+    from capdec_tpu.decode.beam import BeamConfig as BC
+    outs = []
+    for stages in (1, 3):
+        bc = BC(beam_size=4, entry_length=20, stop_token=13,
+                cache_stages=stages, pallas_reorder=False)
+        outs.append(jax.tree.map(np.asarray,
+                                 beam_search(params, cfg,
+                                             jnp.asarray(prefixes), bc)))
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_beam_cache_layouts_identical(models):
     """Row-major [B, L, E, D] and layer-major [L, B, E, D] gen caches give
     bit-identical results."""
