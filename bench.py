@@ -33,7 +33,7 @@ def main():
         gpt2=gpt2.GPT2Config(compute_dtype=jnp.bfloat16))
     params = caption_model.init_params(jax.random.PRNGKey(0), cfg)
 
-    N = 64  # images per decode batch
+    N = 128  # images per decode batch (measured throughput-optimal)
     rng = np.random.RandomState(0)
     clip_embeds = jnp.asarray(rng.randn(N, cfg.prefix_size), jnp.float32)
     map_fn = jax.jit(caption_model.map_prefix, static_argnums=(1,))

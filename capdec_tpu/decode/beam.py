@@ -178,7 +178,7 @@ class BeamConfig:
     # fork copies and attention reads touch a small cache instead of the
     # full entry_length allocation (~40% average traffic saving at 67
     # steps). 1 disables staging.
-    cache_stages: int = 4
+    cache_stages: int = 8
     # Permute the cache with a one-hot MXU matmul (P [B, B] is tiny and
     # VMEM-resident, the cache streams once at matmul bandwidth instead of
     # the ~280 GB/s HBM-to-HBM DMA copy ceiling). Exact: f32 accumulation
