@@ -186,6 +186,22 @@ class BeamConfig:
     mxu_reorder: bool = False
     # None = auto: Pallas DMA-gather reorder on TPU, jnp.take elsewhere.
     pallas_reorder: Optional[bool] = None
+    # Pallas strided-DMA write of the new K/V slot (row-major cache only).
+    # XLA's dynamic-update-slice at a dynamic slot index in the tiled
+    # sublane dim lowers to a whole-cache masked RMW pass (~2.4 ms/step at
+    # batch 640). Default OFF: Mosaic requires DMA slices in the slot dim
+    # to be 16-aligned for bf16 ((8,128) tiles of 2-packed sublanes), and
+    # the single-slot/2-slot window writes both fail that check.
+    pallas_slot_write: Optional[bool] = None
+    # Fused Pallas attention kernel (scores+softmax+value over prefix,
+    # generated and current slots; ops/decode_attention.py v2). Eliminates
+    # the XLA path's per-layer cache-slice materialization, the gen-V
+    # retile copy and the spread-probs broadcast (together ~7 ms of the
+    # 15.4 ms step at batch 640): measured 122 -> 179 captions/s at batch
+    # 128. Numerically bf16-equivalent to the XLA path but NOT bitwise
+    # (different reduction order); set False for the exact path.
+    # Row-major cache only. None = auto (on on TPU).
+    fused_attention: Optional[bool] = None
     # Perf-ablation ONLY: skip the cache permutation entirely. Results are
     # WRONG; this measures the no-reorder floor of the decode step.
     skip_reorder_unsafe: bool = False
@@ -264,7 +280,11 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
         logits, gen_cache = gpt2.decode_step(
             params, cfg, cur, prefix_cache, gen_cache, i - 1,
             anc_oh=anc if bc.ancestry else None,
-            rowmajor=bc.rowmajor_cache)
+            rowmajor=bc.rowmajor_cache,
+            slot_write_kernel=bool(bc.pallas_slot_write)
+            and bc.rowmajor_cache,
+            fused_attention=bool(bc.fused_attention) and bc.rowmajor_cache
+            and not bc.ancestry)
         if bc.temperature > 0 and bc.temperature != 1.0:
             logits = logits / bc.temperature
         logits = logits.astype(jnp.float32)
@@ -430,6 +450,11 @@ def beam_search(params: Any, cfg: gpt2.GPT2Config, prefix_embeds: jnp.ndarray,
                       or any(d.platform == "tpu" or "TPU" in d.device_kind
                              for d in jax.devices()))
         bc = dataclasses.replace(bc, pallas_reorder=on_tpu)
+    if bc.pallas_slot_write is None:
+        bc = dataclasses.replace(bc, pallas_slot_write=False)
+    if bc.fused_attention is None:
+        bc = dataclasses.replace(
+            bc, fused_attention=bc.pallas_reorder and bc.rowmajor_cache)
     return _beam_search_impl(params, cfg, bc, prefix_embeds)
 
 

@@ -357,7 +357,10 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                 prefix_cache: Params, gen_cache: Params,
                 step: jnp.ndarray,
                 anc_oh: Optional[jnp.ndarray] = None,
-                rowmajor: bool = False
+                rowmajor: bool = False,
+                slot_write_kernel: bool = False,
+                fused_attention: bool = False,
+                fused_interpret: bool = False
                 ) -> Tuple[jnp.ndarray, Params]:
     """One decode step over split caches.
 
@@ -414,12 +417,34 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
         """Inverse of `heads` for probabilities: [..., H] -> [..., D]."""
         return jnp.repeat(p, hd, axis=-1)
 
-    def body_core(x, layer, pk, pv, gk, gv):
+    def body_core(x, layer, pk, pv, gk, gv, attn_fn=None):
         h = _layer_norm(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"],
                         cfg.layer_norm_epsilon)
         qkv = jnp.dot(h[:, 0].astype(cdt), layer["attn"]["c_attn_w"].astype(cdt),
                       preferred_element_type=jnp.float32) + layer["attn"]["c_attn_b"]
         q, k_new, v_new = jnp.split(qkv.astype(cdt), 3, axis=-1)  # [B, D]
+
+        if attn_fn is not None:
+            # Fused Pallas attention (scores+softmax+value over prefix,
+            # generated and current slots in one kernel); the remaining
+            # XLA attention math below is skipped entirely.
+            out = attn_fn(q, k_new, v_new)
+            out = jnp.dot(out.astype(cdt),
+                          layer["attn"]["c_proj_w"].astype(cdt),
+                          preferred_element_type=jnp.float32
+                          ) + layer["attn"]["c_proj_b"]
+            y = x + out[:, None, :].astype(x.dtype)
+            h = _layer_norm(y, layer["ln_2"]["scale"], layer["ln_2"]["bias"],
+                            cfg.layer_norm_epsilon)
+            h = jnp.dot(h[:, 0].astype(cdt), layer["mlp"]["c_fc_w"].astype(cdt),
+                        preferred_element_type=jnp.float32
+                        ) + layer["mlp"]["c_fc_b"]
+            h = gelu_new(h).astype(cdt)
+            h = jnp.dot(h, layer["mlp"]["c_proj_w"].astype(cdt),
+                        preferred_element_type=jnp.float32
+                        ) + layer["mlp"]["c_proj_b"]
+            y = y + h[:, None, :].astype(y.dtype)
+            return y, (k_new, v_new)
 
         q_img = q.reshape(N, R, 1, D)
         # prefix scores [N, R, K, H]: beams share the per-image rows.
@@ -479,22 +504,53 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
     if rowmajor:
         genk, genv = gen_cache["k"], gen_cache["v"]  # [B, L, E, D]
 
-        def body_rm(x, inputs):
-            layer, pk, pv, l = inputs
-            gk = lax.dynamic_index_in_dim(genk, l, axis=1, keepdims=False)
-            gv = lax.dynamic_index_in_dim(genv, l, axis=1, keepdims=False)
-            return body_core(x, layer, pk, pv, gk, gv)
+        if fused_attention:
+            from ..ops.decode_attention import beam_decode_attention_rowmajor
+            pk_all = prefix_cache["k"]
+            pv_all = prefix_cache["v"]
 
-        x, (ks, vs) = lax.scan(
-            body_rm, x, (params["blocks"], prefix_cache["k"],
-                         prefix_cache["v"], jnp.arange(L)))
+            def body_fused(x, inputs):
+                layer, l = inputs
 
-        def upd(cache, slim):  # slim [L, B, D] -> cache [B, L, E, D]
-            return lax.dynamic_update_slice(
-                cache, slim.transpose(1, 0, 2)[:, :, None, :].astype(
-                    cache.dtype), (0, 0, step, 0))
+                def attn_fn(q, k_new, v_new):
+                    return beam_decode_attention_rowmajor(
+                        q, k_new, v_new, pk_all, pv_all, genk, genv,
+                        step, l, beams_per_image=R, head_dim=hd,
+                        interpret=fused_interpret)
 
-        new_k, new_v = upd(genk, ks), upd(genv, vs)
+                return body_core(x, layer, None, None, None, None,
+                                 attn_fn=attn_fn)
+
+            x, (ks, vs) = lax.scan(
+                body_fused, x, (params["blocks"], jnp.arange(L)))
+        else:
+            def body_rm(x, inputs):
+                layer, pk, pv, l = inputs
+                gk = lax.dynamic_index_in_dim(genk, l, axis=1, keepdims=False)
+                gv = lax.dynamic_index_in_dim(genv, l, axis=1, keepdims=False)
+                return body_core(x, layer, pk, pv, gk, gv)
+
+            x, (ks, vs) = lax.scan(
+                body_rm, x, (params["blocks"], prefix_cache["k"],
+                             prefix_cache["v"], jnp.arange(L)))
+
+        if slot_write_kernel:
+            # Strided-DMA write of the new slot (Pallas, in place). XLA's
+            # dynamic-update-slice at a dynamic slot index in the tiled
+            # sublane dim lowers to a whole-cache masked RMW pass
+            # (measured 2.4 ms/step at batch 640) — the DMA writes only
+            # the B*L new rows.
+            from ..ops.cache_reorder import write_gen_slot
+            upd_cache = write_gen_slot(genk, genv, ks.transpose(1, 0, 2),
+                                       vs.transpose(1, 0, 2), step)
+            new_k, new_v = upd_cache["k"], upd_cache["v"]
+        else:
+            def upd(cache, slim):  # slim [L, B, D] -> cache [B, L, E, D]
+                return lax.dynamic_update_slice(
+                    cache, slim.transpose(1, 0, 2)[:, :, None, :].astype(
+                        cache.dtype), (0, 0, step, 0))
+
+            new_k, new_v = upd(genk, ks), upd(genv, vs)
     else:
         def body(x, inputs):
             layer, pk, pv, gk, gv = inputs

@@ -15,6 +15,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -224,6 +225,69 @@ def copy_forked_rows(k: jnp.ndarray, v: jnp.ndarray, src: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(src.astype(jnp.int32), k, v)
+    return {"k": k2, "v": v2}
+
+
+def _write_slot_kernel(step_ref, kp_in, vp_in, k_in, v_in, k_out, v_out,
+                       sems):
+    # kp/vp: [B, L, 2, D] — the updated 2-slot pair window starting at the
+    # even slot `step & ~1`; k/v: [B, L, E, D] caches aliased in place.
+    # The write is one strided DMA per array at a provably 2-aligned slot
+    # offset (bf16 tiling is (2, 128) on the (E, D) dims, so a size-2
+    # window at an even offset is tile-legal; a single-slot slice is not).
+    # XLA's dynamic-update-slice at a dynamic sublane index lowers to a
+    # full-cache masked read-modify-write pass instead (measured
+    # 2.4 ms/step of a 15.4 ms beam step at batch 640).
+    base = pl.multiple_of((step_ref[0] // 2) * 2, 2)
+    ck = pltpu.make_async_copy(
+        kp_in, k_out.at[:, :, pl.ds(base, 2), :], sems.at[0])
+    cv = pltpu.make_async_copy(
+        vp_in, v_out.at[:, :, pl.ds(base, 2), :], sems.at[1])
+    ck.start()
+    cv.start()
+    ck.wait()
+    cv.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def write_gen_slot(k: jnp.ndarray, v: jnp.ndarray, k_new: jnp.ndarray,
+                   v_new: jnp.ndarray, step: jnp.ndarray,
+                   interpret: bool = False) -> Dict[str, jnp.ndarray]:
+    """Write the per-layer new K/V into generated slot `step` of the
+    row-major [B, L, E, D] caches, in place (aliased buffers).
+
+    k_new/v_new: [B, L, D]. The kernel DMAs a 2-slot pair window at the
+    even offset `step & ~1`: slot `step` gets the new K/V, its pair
+    neighbor is rewritten with its current contents (read back first), so
+    the result is exactly a single-slot update. E must be even (cache
+    allocs round to a multiple of 8)."""
+    B, L, E, D = k.shape
+    base = (step // 2) * 2
+    off = step - base
+    sel = (jnp.arange(2) == off)[None, None, :, None]
+
+    def pair(cache, new):
+        window = lax.dynamic_slice(cache, (0, 0, base, 0), (B, L, 2, D))
+        return jnp.where(sel, new[:, :, None, :].astype(cache.dtype),
+                         window)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
+    )
+    k2, v2 = pl.pallas_call(
+        _write_slot_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(step.reshape(1).astype(jnp.int32),
+      pair(k, k_new), pair(v, v_new), k, v)
     return {"k": k2, "v": v2}
 
 

@@ -118,6 +118,132 @@ def _kernel(step_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref, gv_ref,
     out_ref[:, 0, :] = out.astype(out_ref.dtype)
 
 
+def _kernel_rm(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref,
+               gv_ref, g_ref, out_ref, *, beams_per_image: int,
+               head_dim: int, scale: float):
+    """v2: row-major [B, L, E, D] caches, pure function (no aliased
+    outputs — the slot write is `ops.cache_reorder.write_gen_slot`).
+
+    v1 fused the slot write via aliased in/out buffers, which blocks the
+    Mosaic pipeline from prefetching the next input block while an output
+    write to the same buffer is pending — measured 2.3x slower than the
+    XLA path. Read-only cache blocks restore full double-buffering.
+    """
+    TB, _, D = q_ref.shape
+    _, TI, K, _ = pk_ref.shape
+    E = gk_ref.shape[2]  # gk_ref: [TB, 1, E, D]
+    R = beams_per_image
+    step = scal_ref[0]
+
+    g = g_ref[:]                                    # [D, 128] bf16
+    q = q_ref[:, 0, :]                              # [TB, D]
+    k_new = kn_ref[:, 0, :]
+    v_new = vn_ref[:, 0, :]
+
+    def heads(x2d):  # [S, D] -> [S, 128] per-head sums via MXU
+        return jax.lax.dot_general(
+            x2d.astype(jnp.bfloat16), g,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    sc = heads(q * k_new) * scale                   # current token [TB, 128]
+
+    gk = gk_ref[:, 0, :, :]                         # [TB, E, D]
+    gv = gv_ref[:, 0, :, :]
+    prod_g = gk.astype(jnp.bfloat16) * q[:, None, :].astype(jnp.bfloat16)
+    sg = heads(prod_g.reshape(TB * E, D)).reshape(TB, E, 128) * scale
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, E, 1), 1)
+    sg = jnp.where(slot_ids < step, sg, NEG_INF)
+
+    pk_rep = jnp.repeat(pk_ref[0], R, axis=0)       # [TB, K, D]
+    pv_rep = jnp.repeat(pv_ref[0], R, axis=0)
+    prod_p = pk_rep.astype(jnp.bfloat16) * q[:, None, :].astype(jnp.bfloat16)
+    sp = heads(prod_p.reshape(TB * K, D)).reshape(TB, K, 128) * scale
+
+    scores = jnp.concatenate([sp, sg, sc[:, None, :]], axis=1)  # [TB,S,128]
+    m = jnp.max(scores, axis=1, keepdims=True)
+    e = jnp.exp(scores - m)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    probs = e / denom
+
+    def spread(p):  # [S', 128] -> [S', D]
+        return jax.lax.dot_general(
+            p.astype(jnp.bfloat16), g,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    S_total = K + E + 1
+    p_all = spread(probs.reshape(TB * S_total, 128)).reshape(TB, S_total, D)
+    out = jnp.sum(p_all[:, :K, :] * pv_rep.astype(jnp.bfloat16),
+                  axis=1, dtype=jnp.float32)
+    gen_prod = jnp.where(slot_ids < step,
+                         p_all[:, K:K + E, :] * gv.astype(jnp.bfloat16),
+                         jnp.bfloat16(0.0))
+    out = out + jnp.sum(gen_prod, axis=1, dtype=jnp.float32)
+    out = out + p_all[:, K + E, :].astype(jnp.float32) * v_new.astype(jnp.float32)
+    out_ref[:, 0, :] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("beams_per_image", "head_dim",
+                                    "block_beams", "interpret"))
+def beam_decode_attention_rowmajor(
+        q: jnp.ndarray, k_new: jnp.ndarray, v_new: jnp.ndarray,
+        pk: jnp.ndarray, pv: jnp.ndarray, gk: jnp.ndarray, gv: jnp.ndarray,
+        step: jnp.ndarray, layer: jnp.ndarray, *, beams_per_image: int,
+        head_dim: int, block_beams: int = 20,
+        interpret: bool = False) -> jnp.ndarray:
+    """Fused decode attention over row-major caches (v2, production).
+
+    q/k_new/v_new: [B, D]; pk/pv: [L, N, K, D] (full prefix cache);
+    gk/gv: [B, L, E, D] (full gen cache, read-only — only layer `layer`'s
+    blocks are streamed by the pipeline); step/layer: int32 scalars.
+    Returns attn_out [B, D] f32. The caller writes the new K/V slot
+    separately (`ops.cache_reorder.write_gen_slot`), keeping this kernel
+    alias-free so the pipeline double-buffers cache reads.
+    """
+    B, D = q.shape
+    L, N, K, _ = pk.shape
+    E = gk.shape[2]
+    R = beams_per_image
+    if B % R:
+        raise ValueError(f"batch {B} is not a multiple of beams_per_image {R}")
+    TB = R * max(1, min(block_beams, B) // R)
+    while B % TB:
+        TB -= R
+    TI = TB // R
+    grid = (B // TB,)
+    g = _head_matrix(D, head_dim)
+    scale = 1.0 / (head_dim ** 0.5)
+
+    kernel = functools.partial(_kernel_rm, beams_per_image=R,
+                               head_dim=head_dim, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TB, 1, D), lambda i, s: (i, 0, 0)),
+                pl.BlockSpec((TB, 1, D), lambda i, s: (i, 0, 0)),
+                pl.BlockSpec((TB, 1, D), lambda i, s: (i, 0, 0)),
+                pl.BlockSpec((1, TI, K, D), lambda i, s: (s[1], i, 0, 0)),
+                pl.BlockSpec((1, TI, K, D), lambda i, s: (s[1], i, 0, 0)),
+                pl.BlockSpec((TB, 1, E, D), lambda i, s: (i, s[1], 0, 0)),
+                pl.BlockSpec((TB, 1, E, D), lambda i, s: (i, s[1], 0, 0)),
+                pl.BlockSpec((D, 128), lambda i, s: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((TB, 1, D), lambda i, s: (i, 0, 0)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B, 1, D), jnp.float32)],
+        interpret=interpret,
+    )(jnp.stack([step.astype(jnp.int32), layer.astype(jnp.int32)]),
+      q[:, None, :], k_new[:, None, :], v_new[:, None, :], pk, pv, gk, gv, g)
+    return out[0][:, 0, :]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("beams_per_image", "head_dim",
                                     "block_beams", "interpret"))

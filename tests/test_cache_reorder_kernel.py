@@ -33,3 +33,25 @@ def test_bounded_reorder_matches_take_on_valid_slots():
                                       k[:, src][:, :, :count], f"count={count}")
         np.testing.assert_array_equal(np.asarray(out["v"])[:, :, :count],
                                       v[:, src][:, :, :count])
+
+
+def test_write_gen_slot_matches_dus():
+    from capdec_tpu.ops.cache_reorder import write_gen_slot
+    rng = np.random.RandomState(2)
+    B, L, E, D = 10, 3, 16, 256
+    for _ in (0,):
+        for step in (0, 7, 15):
+            k = rng.randn(B, L, E, D).astype(np.float32)
+            v = rng.randn(B, L, E, D).astype(np.float32)
+            kn = rng.randn(B, L, D).astype(np.float32)
+            vn = rng.randn(B, L, D).astype(np.float32)
+            out = write_gen_slot(jnp.asarray(k), jnp.asarray(v),
+                                 jnp.asarray(kn), jnp.asarray(vn),
+                                 jnp.asarray(step, jnp.int32),
+                                 interpret=True)
+            ref_k, ref_v = k.copy(), v.copy()
+            ref_k[:, :, step, :] = kn
+            ref_v[:, :, step, :] = vn
+            np.testing.assert_array_equal(np.asarray(out["k"]), ref_k,
+                                          f"step={step}")
+            np.testing.assert_array_equal(np.asarray(out["v"]), ref_v)

@@ -101,3 +101,81 @@ def test_kernel_nan_safe_with_garbage_tail_slots():
         jnp.asarray(step, jnp.int32), beams_per_image=R, head_dim=hd,
         interpret=True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("step,layer", [(0, 0), (3, 1), (7, 2)])
+def test_rowmajor_kernel_matches_oracle(step, layer):
+    from capdec_tpu.ops.decode_attention import beam_decode_attention_rowmajor
+    rng = np.random.RandomState(10 + step)
+    N, R, K, E, D, hd, L = 2, 5, 6, 8, 256, 64, 3
+    B = N * R
+    mk = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
+    q, k_new, v_new = mk(B, D), mk(B, D), mk(B, D)
+    pk, pv = mk(L, N, K, D), mk(L, N, K, D)
+    gk, gv = mk(B, L, E, D), mk(B, L, E, D)
+    gk[:, :, step:] = 0.0
+    gv[:, :, step:] = 0.0
+
+    out = beam_decode_attention_rowmajor(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(pk), jnp.asarray(pv), jnp.asarray(gk), jnp.asarray(gv),
+        jnp.asarray(step, jnp.int32), jnp.asarray(layer, jnp.int32),
+        beams_per_image=R, head_dim=hd, block_beams=R, interpret=True)
+
+    ref = oracle(q, k_new, v_new, pk[layer], pv[layer], gk[:, layer],
+                 gv[:, layer], step, R, hd)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-2, rtol=5e-2)
+
+
+def test_rowmajor_kernel_nan_safe():
+    from capdec_tpu.ops.decode_attention import beam_decode_attention_rowmajor
+    rng = np.random.RandomState(3)
+    N, R, K, E, D, hd, L = 2, 5, 4, 8, 128, 64, 2
+    B = N * R
+    step, layer = 3, 1
+    mk = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
+    gk, gv = mk(B, L, E, D), mk(B, L, E, D)
+    gk[:, :, step:] = np.nan
+    gv[:, :, step:] = np.inf
+    out = beam_decode_attention_rowmajor(
+        jnp.asarray(mk(B, D)), jnp.asarray(mk(B, D)), jnp.asarray(mk(B, D)),
+        jnp.asarray(mk(L, N, K, D)), jnp.asarray(mk(L, N, K, D)),
+        jnp.asarray(gk), jnp.asarray(gv),
+        jnp.asarray(step, jnp.int32), jnp.asarray(layer, jnp.int32),
+        beams_per_image=R, head_dim=hd, interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_decode_step_fused_matches_xla_path():
+    """decode_step(fused_attention=True) vs the XLA attention path —
+    same logits (bf16-reassociation tolerance) and identical cache
+    writes."""
+    from capdec_tpu.models import gpt2
+
+    cfg = gpt2.GPT2Config(n_layer=2, n_head=4, n_embd=256, vocab_size=512,
+                          n_positions=128)
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    N, R, K, E = 2, 5, 6, 16
+    B = N * R
+    prefix = jnp.asarray(rng.randn(N, K, cfg.n_embd) * 0.3, jnp.float32)
+    _, prefix_cache = gpt2.prefill(params, cfg, prefix)
+    gen = gpt2.init_gen_cache_rowmajor(cfg, B, E)
+    tok = jnp.asarray(rng.randn(B, cfg.n_embd) * 0.3, jnp.float32)
+    step = jnp.asarray(3, jnp.int32)
+    # pre-populate slots < step so attention has history
+    hist = rng.randn(B, cfg.n_layer, 3, cfg.n_embd).astype(np.float32) * 0.3
+    gen = {kk: vv.at[:, :, :3].set(hist) for kk, vv in gen.items()}
+
+    logits_ref, cache_ref = gpt2.decode_step(
+        params, cfg, tok, prefix_cache, gen, step, rowmajor=True)
+    logits_f, cache_f = gpt2.decode_step(
+        params, cfg, tok, prefix_cache, gen, step, rowmajor=True,
+        fused_attention=True, fused_interpret=True)
+
+    np.testing.assert_allclose(np.asarray(logits_f), np.asarray(logits_ref),
+                               atol=5e-2, rtol=5e-2)
+    for kk in ("k", "v"):
+        np.testing.assert_allclose(np.asarray(cache_f[kk]),
+                                   np.asarray(cache_ref[kk]),
+                                   atol=2e-2, rtol=2e-2)
