@@ -429,6 +429,20 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
     return tokens, seq_lengths, final_scores, order
 
 
+def pallas_autodetect() -> bool:
+    """True when the Pallas fast paths should be on: explicit override
+    first (CAPDEC_PALLAS_REORDER=0/1 — the fast path is load-bearing, and
+    experimental TPU plugins could rename the platform), then backend
+    platform with device_kind as the fallback signal."""
+    import os
+    env = os.environ.get("CAPDEC_PALLAS_REORDER")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return (jax.default_backend() == "tpu"
+            or any(d.platform == "tpu" or "TPU" in d.device_kind
+                   for d in jax.devices()))
+
+
 def beam_search(params: Any, cfg: gpt2.GPT2Config, prefix_embeds: jnp.ndarray,
                 bc: BeamConfig = BeamConfig()
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -438,18 +452,7 @@ def beam_search(params: Any, cfg: gpt2.GPT2Config, prefix_embeds: jnp.ndarray,
     where `order` ranks beams by length-normalized score descending.
     """
     if bc.pallas_reorder is None:
-        # Explicit override first (CAPDEC_PALLAS_REORDER=0/1): the fast
-        # path is load-bearing, and experimental TPU plugins could rename
-        # the platform — device_kind is the fallback signal.
-        import os
-        env = os.environ.get("CAPDEC_PALLAS_REORDER")
-        if env is not None:
-            on_tpu = env not in ("0", "false", "False")
-        else:
-            on_tpu = (jax.default_backend() == "tpu"
-                      or any(d.platform == "tpu" or "TPU" in d.device_kind
-                             for d in jax.devices()))
-        bc = dataclasses.replace(bc, pallas_reorder=on_tpu)
+        bc = dataclasses.replace(bc, pallas_reorder=pallas_autodetect())
     if bc.pallas_slot_write is None:
         bc = dataclasses.replace(bc, pallas_slot_write=False)
     if bc.fused_attention is None:

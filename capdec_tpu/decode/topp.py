@@ -33,6 +33,11 @@ class ToppConfig:
     stop_token: int = GPT2_DOT_TOKEN
     extra_stop_token: int = GPT2_SPACE_DOT_TOKEN
     sample: bool = False
+    # Fused Pallas decode attention over a row-major cache (the beam
+    # engine's v2 kernel with beams_per_image=1 — greedy never reorders,
+    # so the kernel applies directly). None = auto (on on TPU).
+    fused_attention: Optional[bool] = None
+    fused_interpret: bool = False  # Pallas interpret mode (CPU tests)
 
 
 def nucleus_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
@@ -78,7 +83,12 @@ def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
     stopped = jnp.logical_or(tok0 == tc.stop_token,
                              tok0 == tc.extra_stop_token)
     lengths = jnp.ones((N,), jnp.int32)
-    gen_cache = gpt2.init_gen_cache(cfg, N, E)
+    fused = bool(tc.fused_attention)
+    if fused:
+        # slot dim padded to the (8, 128) memref tiling, masked in attention
+        gen_cache = gpt2.init_gen_cache_rowmajor(cfg, N, -(-E // 8) * 8)
+    else:
+        gen_cache = gpt2.init_gen_cache(cfg, N, E)
     cur = gpt2.embed_tokens(params, tok0)
 
     def cond(c):
@@ -88,7 +98,10 @@ def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
     def body(c):
         i, tokens, stopped, lengths, cur, gen_cache, key = c
         logits, gen_cache = gpt2.decode_step(params, cfg, cur, prefix_cache,
-                                             gen_cache, i - 1)
+                                             gen_cache, i - 1,
+                                             rowmajor=fused,
+                                             fused_attention=fused,
+                                             fused_interpret=tc.fused_interpret)
         key, kp = jax.random.split(key)
         nxt = _pick(logits, tc, kp).astype(jnp.int32)
         alive = jnp.logical_not(stopped)
@@ -115,6 +128,9 @@ def greedy_topp_search(params: Any, cfg: gpt2.GPT2Config,
     """Decode a batch of prefixes [N, K, D] → (tokens [N, E], lengths [N])."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    if tc.fused_attention is None:
+        from .beam import pallas_autodetect
+        tc = dataclasses.replace(tc, fused_attention=pallas_autodetect())
     return _greedy_impl(params, cfg, tc, prefix_embeds, key)
 
 

@@ -84,6 +84,35 @@ def loss_fn(logits: jnp.ndarray, tokens: jnp.ndarray,
     return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
+def loss_forward(params: Params, cfg: CaptionModelConfig,
+                 tokens: jnp.ndarray, prefix: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """forward + loss_fn fused: the LM head runs only over the scored slice.
+
+    `forward` produces logits for all K+T positions, but the loss
+    (reference train.py:349-350) scores only the T positions K-1..K+T-2 —
+    for K=T=40 half the 50k-wide LM-head matmul (and its backward) is
+    discarded. Slicing the final hidden states first halves that matmul
+    and avoids materializing the [B, K+T, V] f32 logits. Same math as
+    `loss_fn(forward(...))`: the LM head is row-independent and the CE is
+    the identical logsumexp-minus-gather form.
+    """
+    K = cfg.prefix_length
+    tok_embeds = gpt2.embed_tokens(params["gpt"], tokens)
+    prefix_embeds = map_prefix(params, cfg, prefix).astype(tok_embeds.dtype)
+    embeds = jnp.concatenate([prefix_embeds, tok_embeds], axis=1)
+    hidden = gpt2.forward_hidden(params["gpt"], cfg.gpt2, embeds, mask)
+    logits = gpt2.final_logits(params["gpt"], cfg.gpt2,
+                               hidden[:, K - 1:-1]).astype(jnp.float32)
+    # lse-minus-gather CE: same value as log_softmax+gather without
+    # materializing a second [B, T, V] f32 buffer for the log-probs.
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, tokens[..., None], axis=-1)[..., 0]
+    nll = lse - picked
+    valid = (tokens != 0).astype(jnp.float32)
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
 # ---------------------------------------------------------------------------
 # torch checkpoint conversion (reference `.pt` state_dicts)
 # ---------------------------------------------------------------------------

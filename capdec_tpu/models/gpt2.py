@@ -53,10 +53,28 @@ class GPT2Config:
         return self.n_embd // self.n_head
 
 
+@jax.custom_jvp
 def gelu_new(x: jnp.ndarray) -> jnp.ndarray:
-    """GPT-2's tanh-approximate GELU (HF `gelu_new`)."""
+    """GPT-2's tanh-approximate GELU (HF `gelu_new`).
+
+    Custom JVP with an analytic derivative: plain AD through the tanh
+    chain makes XLA stash ~7 full-width intermediates per MLP for the
+    backward pass (profiled: 7× f32[L,B,T,3072] buffers — GBs of HBM
+    traffic per train step on GPT-2 base); the custom rule saves one.
+    """
     c = jnp.asarray(0.7978845608028654, x.dtype)  # sqrt(2/pi)
     return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+
+
+@gelu_new.defjvp
+def _gelu_new_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    c = jnp.asarray(0.7978845608028654, x.dtype)
+    t = jnp.tanh(c * (x + 0.044715 * x * x * x))
+    y = 0.5 * x * (1.0 + t)
+    dy_dx = (0.5 * (1.0 + t)
+             + 0.5 * x * (1.0 - t * t) * c * (1.0 + 3 * 0.044715 * x * x))
+    return y, dy_dx * dx
 
 
 # ---------------------------------------------------------------------------
@@ -178,7 +196,8 @@ def _block(x, layer: Params, bias, cfg: GPT2Config,
                     cfg.layer_norm_epsilon)
     h = jnp.dot(h.astype(cdt), layer["mlp"]["c_fc_w"].astype(cdt),
                 preferred_element_type=jnp.float32) + layer["mlp"]["c_fc_b"]
-    h = gelu_new(h).astype(cdt)
+    # gelu in compute dtype: halves the activation (and AD-residual) width
+    h = gelu_new(h.astype(cdt))
     h = jnp.dot(h, layer["mlp"]["c_proj_w"].astype(cdt),
                 preferred_element_type=jnp.float32) + layer["mlp"]["c_proj_b"]
     x = x + h.astype(x.dtype)
@@ -194,20 +213,24 @@ def _final_logits(params: Params, cfg: GPT2Config, x: jnp.ndarray) -> jnp.ndarra
                    preferred_element_type=jnp.float32)
 
 
+def final_logits(params: Params, cfg: GPT2Config,
+                 x: jnp.ndarray) -> jnp.ndarray:
+    """ln_f + tied LM head over arbitrary hidden-state slices [.., D]."""
+    return _final_logits(params, cfg, x)
+
+
 def embed_tokens(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
     """Token embedding lookup (reference `gpt.transformer.wte(tokens)`)."""
     return jnp.take(params["wte"], tokens, axis=0)
 
 
-def forward(params: Params, cfg: GPT2Config, inputs_embeds: jnp.ndarray,
-            attention_mask: Optional[jnp.ndarray] = None,
-            position_offset: int | jnp.ndarray = 0) -> jnp.ndarray:
-    """Full-sequence forward. inputs_embeds: [B, T, D] -> logits [B, T, V].
-
-    `attention_mask` is an optional [B, T] 1/0 key mask (HF semantics:
-    masked keys are removed from attention; queries still produce outputs).
-    A causal mask is always applied.
-    """
+def forward_hidden(params: Params, cfg: GPT2Config,
+                   inputs_embeds: jnp.ndarray,
+                   attention_mask: Optional[jnp.ndarray] = None,
+                   position_offset: int | jnp.ndarray = 0) -> jnp.ndarray:
+    """Transformer stack only: [B, T, D] -> final hidden states [B, T, D]
+    (pre ln_f / LM head). Lets loss paths run the 50k-wide LM-head matmul
+    over just the positions they score instead of the whole sequence."""
     B, T, D = inputs_embeds.shape
     positions = position_offset + jnp.arange(T)
     x = inputs_embeds + jnp.take(params["wpe"], positions, axis=0)
@@ -225,6 +248,20 @@ def forward(params: Params, cfg: GPT2Config, inputs_embeds: jnp.ndarray,
         return y, None
 
     x, _ = lax.scan(scan_body, x, params["blocks"])
+    return x
+
+
+def forward(params: Params, cfg: GPT2Config, inputs_embeds: jnp.ndarray,
+            attention_mask: Optional[jnp.ndarray] = None,
+            position_offset: int | jnp.ndarray = 0) -> jnp.ndarray:
+    """Full-sequence forward. inputs_embeds: [B, T, D] -> logits [B, T, V].
+
+    `attention_mask` is an optional [B, T] 1/0 key mask (HF semantics:
+    masked keys are removed from attention; queries still produce outputs).
+    A causal mask is always applied.
+    """
+    x = forward_hidden(params, cfg, inputs_embeds, attention_mask,
+                       position_offset)
     return _final_logits(params, cfg, x)
 
 

@@ -54,9 +54,11 @@ def _make_step_fn(cfg: caption_model.CaptionModelConfig,
             modality_offset=offset,
             uniform_noise=noise_cfg.uniform_noise,
             dont_norm=noise_cfg.dont_norm)
-        logits = caption_model.forward(params, cfg, batch["tokens"], prefix,
-                                       batch["mask"])
-        return caption_model.loss_fn(logits, batch["tokens"], cfg.prefix_length)
+        # Fused loss path: the LM head runs only over the scored slice
+        # (half the 50k-wide matmul at K=T=40); same math as
+        # loss_fn(forward(...)).
+        return caption_model.loss_forward(params, cfg, batch["tokens"],
+                                          prefix, batch["mask"])
 
     def step_fn(state, batch, key):
         # Fresh per-step noise from one base key — folding happens inside
@@ -66,7 +68,18 @@ def _make_step_fn(cfg: caption_model.CaptionModelConfig,
         loss, grads = jax.value_and_grad(loss_fn)(state["params"], batch,
                                                   noise_key)
         updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
-        params = optax.apply_updates(state["params"], updates)
+        if cfg.only_prefix:
+            # Frozen leaves pass through IDENTICALLY (not p + 0): the
+            # zero-add would read+write ~500 MB of frozen GPT-2 every
+            # step; identity keeps them loop-invariant under the
+            # multi-step scan. Results are unchanged (updates are hard
+            # zeros for frozen leaves).
+            mask = caption_model.trainable_mask(state["params"], cfg)
+            params = jax.tree.map(
+                lambda p, u, m: optax.apply_updates(p, u) if m else p,
+                state["params"], updates, mask)
+        else:
+            params = optax.apply_updates(state["params"], updates)
         return {"params": params, "opt_state": opt_state,
                 "step": state["step"] + 1}, loss
 
@@ -112,10 +125,9 @@ def make_eval_step(cfg: caption_model.CaptionModelConfig) -> Callable:
 
     @jax.jit
     def eval_fn(params, batch):
-        logits = caption_model.forward(params, cfg, batch["tokens"],
-                                       batch["prefix"].astype(jnp.float32),
-                                       batch["mask"])
-        return caption_model.loss_fn(logits, batch["tokens"], cfg.prefix_length)
+        return caption_model.loss_forward(
+            params, cfg, batch["tokens"],
+            batch["prefix"].astype(jnp.float32), batch["mask"])
 
     return eval_fn
 

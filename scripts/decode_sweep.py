@@ -1,0 +1,75 @@
+"""Beam-decode perf sweep harness (TPU).
+
+Usage: python scripts/decode_sweep.py N=128 stages=8 fused=1 skip=0 ...
+Each invocation times ONE config (fresh process; persistent compile cache
+makes repeat configs cheap). Prints a one-line JSON result.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    opts = dict(kv.split("=") for kv in sys.argv[1:])
+    N = int(opts.get("N", 128))
+    stages = int(opts.get("stages", 8))
+    fused = bool(int(opts.get("fused", 1)))
+    skip = bool(int(opts.get("skip", 0)))
+    lanes = bool(int(opts.get("lanes", 1)))
+    beam = int(opts.get("beam", 5))
+    iters = int(opts.get("iters", 5))
+
+    from capdec_tpu.utils.jax_setup import setup_jax
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from capdec_tpu.decode import BeamConfig, beam_search
+    from capdec_tpu.models import caption_model, gpt2
+
+    cfg = caption_model.CaptionModelConfig(
+        prefix_length=40, clip_length=40, prefix_size=640, num_layers=8,
+        mapping_type="transformer",
+        gpt2=gpt2.GPT2Config(compute_dtype=jnp.bfloat16))
+    params = caption_model.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    clip_embeds = jnp.asarray(rng.randn(N, cfg.prefix_size), jnp.float32)
+    map_fn = jax.jit(caption_model.map_prefix, static_argnums=(1,))
+    prefix_embeds = map_fn(params, cfg, clip_embeds)
+    jax.block_until_ready(prefix_embeds)
+
+    bc = BeamConfig(beam_size=beam, entry_length=67, stop_token=-1,
+                    cache_stages=stages, lane_beams=lanes,
+                    fused_attention=fused if fused else None,
+                    skip_reorder_unsafe=skip)
+    if not fused:
+        import dataclasses
+        bc = dataclasses.replace(bc, fused_attention=False)
+
+    def run():
+        toks, lens, scores, order = beam_search(params["gpt"], cfg.gpt2,
+                                                prefix_embeds, bc)
+        jax.block_until_ready(toks)
+
+    t0 = time.perf_counter()
+    run()  # compile
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "N": N, "stages": stages, "fused": fused, "skip": skip,
+        "lanes": lanes, "beam": beam,
+        "caps_per_s": round(N / dt, 1),
+        "ms_per_step": round(dt / 67 * 1000, 2),
+        "compile_s": round(compile_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

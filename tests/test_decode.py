@@ -302,3 +302,24 @@ def test_nucleus_sampling_path(models):
     # deterministic per key, varies across keys
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t1b))
     assert not np.array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_greedy_fused_attention_matches_xla_path(models):
+    """Greedy decode through the fused row-major Pallas kernel (interpret
+    mode on CPU) emits the same tokens as the XLA decode path."""
+    tm, params, cfg = models
+    K, E = 5, 10
+    prefixes = _random_prefixes(4, K, SMALL["n_embd"], seed=11)
+    tc_xla = ToppConfig(entry_length=E, stop_token=13, extra_stop_token=764,
+                        fused_attention=False)
+    tc_fused = ToppConfig(entry_length=E, stop_token=13,
+                          extra_stop_token=764, fused_attention=True,
+                          fused_interpret=True)
+    t1, l1 = jax.tree.map(
+        np.asarray,
+        greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc_xla))
+    t2, l2 = jax.tree.map(
+        np.asarray,
+        greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc_fused))
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_array_equal(t1, t2)

@@ -203,3 +203,27 @@ def test_loop_steps_per_dispatch_equivalent(tmp_path):
     for a, b in zip(jax.tree.leaves(outs[0]["params"]),
                     jax.tree.leaves(outs[1]["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_loss_forward_matches_forward_plus_loss_fn():
+    """The fused sliced-LM-head loss path (caption_model.loss_forward) is
+    the same math as loss_fn(forward(...)): the LM head is row-independent
+    so slicing hidden states first changes nothing."""
+    cfg = tiny_cfg(mapping_type="transformer")
+    params = caption_model.init_params(jax.random.PRNGKey(3), cfg)
+    batch = make_batch(np.random.RandomState(3), cfg=cfg)
+    logits = caption_model.forward(params, cfg, batch["tokens"],
+                                   batch["prefix"], batch["mask"])
+    ref = caption_model.loss_fn(logits, batch["tokens"], cfg.prefix_length)
+    fused = caption_model.loss_forward(params, cfg, batch["tokens"],
+                                       batch["prefix"], batch["mask"])
+    np.testing.assert_allclose(float(fused), float(ref), rtol=1e-6)
+    # gradients agree too (the train step differentiates loss_forward)
+    g_ref = jax.grad(lambda p: caption_model.loss_fn(
+        caption_model.forward(p, cfg, batch["tokens"], batch["prefix"],
+                              batch["mask"]),
+        batch["tokens"], cfg.prefix_length))(params)
+    g_fused = jax.grad(lambda p: caption_model.loss_forward(
+        p, cfg, batch["tokens"], batch["prefix"], batch["mask"]))(params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g_ref, g_fused)
