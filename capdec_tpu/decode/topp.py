@@ -35,7 +35,11 @@ class ToppConfig:
     sample: bool = False
     # Fused Pallas decode attention over a row-major cache (the beam
     # engine's v2 kernel with beams_per_image=1 — greedy never reorders,
-    # so the kernel applies directly). None = auto (on on TPU).
+    # so the kernel applies directly). Measured SLOWER than the XLA path
+    # for greedy (822 vs 1047 caps/s at batch 256 on TPU v5e): with R=1
+    # there is no per-image prefix reuse inside a block and the kernel's
+    # block overhead dominates — default False; kept as an oracle-tested
+    # variant. (The beam engine, R=5, wins big with the same kernel.)
     fused_attention: Optional[bool] = None
     fused_interpret: bool = False  # Pallas interpret mode (CPU tests)
 
@@ -129,8 +133,7 @@ def greedy_topp_search(params: Any, cfg: gpt2.GPT2Config,
     if key is None:
         key = jax.random.PRNGKey(0)
     if tc.fused_attention is None:
-        from .beam import pallas_autodetect
-        tc = dataclasses.replace(tc, fused_attention=pallas_autodetect())
+        tc = dataclasses.replace(tc, fused_attention=False)
     return _greedy_impl(params, cfg, tc, prefix_embeds, key)
 
 
