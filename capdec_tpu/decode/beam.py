@@ -202,6 +202,7 @@ class BeamConfig:
     # (different reduction order); set False for the exact path.
     # Row-major cache only. None = auto (on on TPU).
     fused_attention: Optional[bool] = None
+    fused_interpret: bool = False  # Pallas interpret mode (CPU tests)
     # Perf-ablation ONLY: skip the cache permutation entirely. Results are
     # WRONG; this measures the no-reorder floor of the decode step.
     skip_reorder_unsafe: bool = False
@@ -284,7 +285,8 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
             slot_write_kernel=bool(bc.pallas_slot_write)
             and bc.rowmajor_cache,
             fused_attention=bool(bc.fused_attention) and bc.rowmajor_cache
-            and not bc.ancestry)
+            and not bc.ancestry,
+            fused_interpret=bc.fused_interpret)
         if bc.temperature > 0 and bc.temperature != 1.0:
             logits = logits / bc.temperature
         logits = logits.astype(jnp.float32)

@@ -323,3 +323,25 @@ def test_greedy_fused_attention_matches_xla_path(models):
         greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc_fused))
     np.testing.assert_array_equal(l1, l2)
     np.testing.assert_array_equal(t1, t2)
+
+
+def test_beam_fused_attention_matches_xla_path(models):
+    """The PRODUCTION TPU beam config (lane beams + staged cache growth +
+    fused row-major Pallas attention) run end-to-end in interpret mode on
+    CPU emits the same captions as the XLA attention path."""
+    tm, params, cfg = models
+    K, E, R = 6, 12, 4
+    prefixes = _random_prefixes(3, K, SMALL["n_embd"], seed=21)
+    base = dict(beam_size=R, entry_length=E, stop_token=13,
+                pallas_reorder=False)
+    bc_xla = BeamConfig(fused_attention=False, **base)
+    bc_fused = BeamConfig(fused_attention=True, fused_interpret=True, **base)
+    r1 = jax.tree.map(np.asarray,
+                      beam_search(params, cfg, jnp.asarray(prefixes), bc_xla))
+    r2 = jax.tree.map(np.asarray,
+                      beam_search(params, cfg, jnp.asarray(prefixes),
+                                  bc_fused))
+    np.testing.assert_array_equal(r1[0], r2[0])  # tokens
+    np.testing.assert_array_equal(r1[1], r2[1])  # lengths
+    np.testing.assert_allclose(r1[2], r2[2], atol=1e-4)  # scores
+    np.testing.assert_array_equal(r1[3], r2[3])  # order
