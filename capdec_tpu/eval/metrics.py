@@ -67,9 +67,11 @@ def ptb_word_tokenize(text: str) -> List[str]:
     t = re.sub(r"([^\.])(\.)([\]\)}>\"']*)\s*$", r"\1 \2\3 ", t)
     t = re.sub(r"[?!]", r" \g<0> ", t)
     t = re.sub(r"([^'])' ", r"\1 ' ", t)
-    # brackets -> PTB escapes
-    for sym, esc in (("(", "-LRB-"), (")", "-RRB-"), ("[", "-LRB-"),
-                     ("]", "-RRB-"), ("{", "-LCB-"), ("}", "-RCB-")):
+    # brackets -> PTB escapes; square brackets are -LSB-/-RSB- (NOT in the
+    # COCO PUNCTUATIONS drop list, so they survive tokenization — matching
+    # the Stanford/NLTK tokenizer pycocoevalcap wraps)
+    for sym, esc in (("(", "-LRB-"), (")", "-RRB-"), ("[", "-LSB-"),
+                     ("]", "-RSB-"), ("{", "-LCB-"), ("}", "-RCB-")):
         t = t.replace(sym, f" {esc} ")
     t = re.sub(r"--", r" -- ", t)
     # ending quotes
@@ -86,9 +88,26 @@ def ptb_word_tokenize(text: str) -> List[str]:
 
 
 def ptb_tokenize(caption: str) -> List[str]:
-    """COCO-eval tokenization: lowercase PTB tokens minus punctuation."""
-    return [w for w in ptb_word_tokenize(caption.lower().strip())
-            if w not in PUNCTUATIONS]
+    """COCO-eval tokenization, faithful to the pycocoevalcap chain:
+    PTB-tokenize, lowercase the TOKENS (the Stanford jar runs with
+    `-lowerCase`, which lowercases output tokens — including the bracket
+    escapes), then drop PUNCTUATIONS. Because the escapes come out
+    lowercase ('-lrb-') and the PUNCTUATIONS list is uppercase, bracket
+    tokens survive — the well-known '-lrb-' artifact in COCO tokenized
+    captions."""
+    toks = [w.lower() for w in ptb_word_tokenize(caption.strip())]
+    return [w for w in toks if w not in PUNCTUATIONS]
+
+
+def _ensure_tokens(d: Dict) -> Dict:
+    """{id: [caption strings]} -> {id: [[tokens]]}; passes through input
+    that is already tokenized (lists of token lists). Lets
+    `score_predictions` tokenize the corpus ONCE for all four scorers."""
+    out = {}
+    for k, caps in d.items():
+        out[k] = [c if isinstance(c, list) else ptb_tokenize(c)
+                  for c in caps]
+    return out
 
 
 def _ngrams(tokens: Sequence[str], n: int) -> Counter:
@@ -107,13 +126,17 @@ def bleu(candidates: Dict, references: Dict, max_n: int = 4) -> List[float]:
     """Corpus BLEU-1..max_n with the COCO conventions: closest reference
     length for the brevity penalty (ties -> shorter), the ratio-form BP
     `exp(1 - 1/ratio)`, and (correct+tiny)/(guess+small) precision."""
+    candidates = _ensure_tokens(candidates)
+    references = _ensure_tokens(references)
     correct = [0] * max_n
     guess = [0] * max_n
     testlen = 0
     reflen = 0
     for img_id, cands in candidates.items():
-        cand = ptb_tokenize(cands[0])
-        refs = [ptb_tokenize(r) for r in references[img_id]]
+        cand = cands[0]
+        refs = references[img_id]
+        if not refs:  # no ground truth for this image: nothing to score
+            continue
         testlen += len(cand)
         reflen += min((abs(len(r) - len(cand)), len(r)) for r in refs)[1]
         for n in range(1, max_n + 1):
@@ -157,16 +180,19 @@ def rouge_l(candidates: Dict, references: Dict, beta: float = 1.2) -> float:
     """Mean over images of the LCS F-score built from the MAX precision and
     MAX recall taken independently across references (the COCO rouge.py
     formulation — not the max per-reference F-score)."""
+    candidates = _ensure_tokens(candidates)
+    references = _ensure_tokens(references)
     scores = []
     for img_id, cands in candidates.items():
-        cand = ptb_tokenize(cands[0])
+        cand = cands[0]
         precs, recs = [], []
-        for ref in references[img_id]:
-            r = ptb_tokenize(ref)
+        for r in references[img_id]:
             lcs = _lcs_len(cand, r)
             precs.append(lcs / len(cand) if cand else 0.0)
             recs.append(lcs / len(r) if r else 0.0)
-        prec_max, rec_max = max(precs), max(recs)
+        # no references for this image: contribute 0 instead of crashing
+        prec_max = max(precs) if precs else 0.0
+        rec_max = max(recs) if recs else 0.0
         if prec_max != 0 and rec_max != 0:
             score = ((1 + beta ** 2) * prec_max * rec_max /
                      (rec_max + beta ** 2 * prec_max))
@@ -183,12 +209,11 @@ def rouge_l(candidates: Dict, references: Dict, beta: float = 1.2) -> float:
 
 def cider_d(candidates: Dict, references: Dict, max_n: int = 4,
             sigma: float = 6.0) -> float:
+    candidates = _ensure_tokens(candidates)
     # document frequencies over reference sets
     df: List[Counter] = [Counter() for _ in range(max_n)]
-    ref_tokens = {}
-    for img_id, refs in references.items():
-        toks = [ptb_tokenize(r) for r in refs]
-        ref_tokens[img_id] = toks
+    ref_tokens = _ensure_tokens(references)
+    for img_id, toks in ref_tokens.items():
         for n in range(max_n):
             seen = set()
             for r in toks:
@@ -215,7 +240,7 @@ def cider_d(candidates: Dict, references: Dict, max_n: int = 4,
 
     scores = []
     for img_id, cands in candidates.items():
-        c_vec, c_norm, c_len = tfidf_vec(ptb_tokenize(cands[0]))
+        c_vec, c_norm, c_len = tfidf_vec(cands[0])
         img_score = 0.0
         refs = ref_tokens[img_id]
         for r_toks in refs:
@@ -364,42 +389,52 @@ def porter_stem(word: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _meteor_align(cand: List[str], ref: List[str]
+def _meteor_align(cand: List[str], ref: List[str], beam: int = 40
                   ) -> Tuple[int, int]:
-    """Greedy two-stage alignment (exact matches first, then Porter-stem
-    matches) returning (matches, chunks). Chunks = maximal runs of matched
-    candidate positions mapping to contiguous ascending reference
-    positions (the METEOR fragmentation statistic)."""
-    ref_free = [True] * len(ref)
-    align = [-1] * len(cand)  # candidate position -> reference position
+    """Alignment maximizing matches and, among maximal matchings,
+    minimizing chunks — the METEOR alignment rule (a greedy assignment
+    can inflate the fragmentation penalty; e.g. cand 'a b' vs ref
+    'b a b' has a 1-chunk maximal matching a greedy aligner misses).
+    Implemented as the same bounded beam search the Meteor aligner uses
+    (beam 40). Match predicate: exact token equality or equal Porter
+    stems (both count as full matches in the classic scoring).
 
-    def stage(key):
-        buckets = defaultdict(list)
-        for j, r in enumerate(ref):
-            if ref_free[j]:
-                buckets[key(r)].append(j)
-        for i, c in enumerate(cand):
-            if align[i] >= 0:
-                continue
-            lst = buckets.get(key(c))
-            while lst:
-                j = lst.pop(0)
-                if ref_free[j]:
-                    align[i] = j
-                    ref_free[j] = False
-                    break
+    Returns (matches, chunks); chunks = maximal runs of consecutive
+    candidate positions mapping to consecutive reference positions."""
+    stems_r = [porter_stem(r) for r in ref]
+    opts: List[List[int]] = []
+    for c in cand:
+        sc = porter_stem(c)
+        opts.append([j for j, r in enumerate(ref)
+                     if r == c or stems_r[j] == sc])
+    # state: (used ref positions, last matched (i, j)) -> fewest chunks;
+    # matches == len(used), so the value ordering is chunks alone.
+    states: Dict[Tuple[frozenset, Tuple[int, int]], int] = {
+        (frozenset(), (-2, -2)): 0}
+    for i, options in enumerate(opts):
+        new: Dict[Tuple[frozenset, Tuple[int, int]], int] = {}
 
-    stage(lambda w: w)
-    stage(porter_stem)
-    matched = [(i, j) for i, j in enumerate(align) if j >= 0]
-    matches = len(matched)
-    chunks = 0
-    prev_i = prev_j = None
-    for i, j in matched:
-        if prev_i is None or i != prev_i + 1 or j != prev_j + 1:
-            chunks += 1
-        prev_i, prev_j = i, j
-    return matches, chunks
+        def push(key, ch):
+            if ch < new.get(key, 1 << 30):
+                new[key] = ch
+
+        for (used, last), ch in states.items():
+            push((used, last), ch)  # leave candidate word i unmatched
+            li, lj = last
+            for j in options:
+                if j in used:
+                    continue
+                adjacent = (li == i - 1 and lj == j - 1)
+                push((used | {j}, (i, j)), ch + (0 if adjacent else 1))
+        # prune to the beam: most matches first, then fewest chunks
+        ranked = sorted(new.items(),
+                        key=lambda kv: (-len(kv[0][0]), kv[1]))[:beam]
+        states = dict(ranked)
+    best_m, best_ch = 0, 0
+    for (used, _), ch in states.items():
+        if (len(used), -ch) > (best_m, -best_ch):
+            best_m, best_ch = len(used), ch
+    return best_m, best_ch
 
 
 def meteor(candidates: Dict, references: Dict, alpha: float = 0.9,
@@ -407,12 +442,13 @@ def meteor(candidates: Dict, references: Dict, alpha: float = 0.9,
     """METEOR with exact+stem matchers (no WordNet synonyms / paraphrase
     tables — see module docstring). Per image, the best score over
     references; corpus score = mean over images."""
+    candidates = _ensure_tokens(candidates)
+    references = _ensure_tokens(references)
     scores = []
     for img_id, cands in candidates.items():
-        cand = ptb_tokenize(cands[0])
+        cand = cands[0]
         best = 0.0
-        for ref_str in references[img_id]:
-            ref = ptb_tokenize(ref_str)
+        for ref in references[img_id]:
             if not cand or not ref:
                 continue
             m, ch = _meteor_align(cand, ref)
@@ -447,6 +483,9 @@ def score_predictions(predictions: List[dict], gt_metrics_format: dict
         if img in refs and img not in cands:
             cands[img] = [p["caption"]]
     refs = {k: v for k, v in refs.items() if k in cands}
+    # tokenize the corpus ONCE; every scorer accepts pre-tokenized input
+    cands = _ensure_tokens(cands)
+    refs = _ensure_tokens(refs)
     b = bleu(cands, refs)
     return {
         "Bleu_1": b[0], "Bleu_2": b[1], "Bleu_3": b[2], "Bleu_4": b[3],

@@ -90,18 +90,19 @@ def run_predictions(records: List[dict],
     paraphrase_embeds: dict = {}
     gap = ablation.ImageTextGapTracker()
     B = cfg.batch_size
-    n_filtered = 0
+    if cfg.record_filter is not None:
+        # Filter ONCE before batching: filtering per chunk would produce a
+        # different batch shape for every distinct kept-count (one full
+        # decode recompile each) and drop mesh sharding for kept-counts
+        # not divisible by dp. Pre-filtering keeps every chunk full-size
+        # except the last.
+        kept = [d for d in records if cfg.record_filter(d)]
+        if len(kept) < len(records):
+            print(f"skips= {len(records) - len(kept)} "
+                  f"(records dropped by filter)", flush=True)
+        records = kept
     for start in range(0, len(records), B):
         chunk = records[start:start + B]
-        if cfg.record_filter is not None:
-            kept = [d for d in chunk if cfg.record_filter(d)]
-            n_filtered += len(chunk) - len(kept)
-            if len(kept) < len(chunk):
-                print(f"skips= {n_filtered} (records dropped by filter)",
-                      flush=True)
-            chunk = kept
-            if not chunk:
-                continue
         with timer:
             prefix = np.asarray(embed_batch_fn(chunk), np.float32)
             if not cfg.dont_normalize_prefix:

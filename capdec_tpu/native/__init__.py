@@ -29,8 +29,18 @@ def build_library(name: str, sources, extra_flags=()) -> str:
     if os.path.isfile(so_path):
         return so_path
     cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-           *extra_flags, *srcs, "-o", so_path]
+           *extra_flags, *srcs, "-o", so_path + ".tmp"]
     subprocess.run(cmd, check=True, capture_output=True)
+    # evict stale hash-named builds of this library (source edits would
+    # otherwise accumulate orphaned .so files forever), then publish the
+    # new artifact atomically
+    import glob
+    for old in glob.glob(os.path.join(_NATIVE_DIR, f"{name}-*.so")):
+        try:
+            os.unlink(old)
+        except OSError:
+            pass
+    os.replace(so_path + ".tmp", so_path)
     return so_path
 
 

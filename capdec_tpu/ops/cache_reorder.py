@@ -100,65 +100,6 @@ def reorder_cache_rows_bounded(k: jnp.ndarray, v: jnp.ndarray,
     return {"k": k2, "v": v2}
 
 
-def _flight_kernel_factory(B: int, wave: int):
-    def kernel(src_ref, k_in, v_in, k_out, v_out, sems):
-        # All rows of a wave in flight at once: one whole-row DMA per
-        # array per row (the [L, E, D] slice is one strided descriptor),
-        # started back-to-back then waited — no per-program pipeline
-        # bubbles between rows.
-        for w0 in range(0, B, wave):
-            n = min(wave, B - w0)
-            for j in range(n):
-                b = w0 + j
-                s = src_ref[b]
-                pltpu.make_async_copy(k_in.at[:, s], k_out.at[:, b],
-                                      sems.at[2 * j]).start()
-                pltpu.make_async_copy(v_in.at[:, s], v_out.at[:, b],
-                                      sems.at[2 * j + 1]).start()
-            for j in range(n):
-                b = w0 + j
-                s = src_ref[b]
-                pltpu.make_async_copy(k_in.at[:, s], k_out.at[:, b],
-                                      sems.at[2 * j]).wait()
-                pltpu.make_async_copy(v_in.at[:, s], v_out.at[:, b],
-                                      sems.at[2 * j + 1]).wait()
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("interpret", "wave"))
-def reorder_cache_rows_flight(k: jnp.ndarray, v: jnp.ndarray,
-                              src: jnp.ndarray, wave: int = 64,
-                              interpret: bool = False
-                              ) -> Dict[str, jnp.ndarray]:
-    """Gather rows of k/v [L, B, E, D] along axis 1 by `src` [B] int32,
-    issuing up to `wave` whole-row HBM→HBM DMAs per array concurrently
-    from a single program (vs. the grid pipeline of `reorder_cache_rows`,
-    which double-buffers one row block at a time)."""
-    L, B, E, D = k.shape
-    kernel = _flight_kernel_factory(B, wave)
-    n_sems = 2 * min(wave, B)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec(memory_space=pl.ANY)],
-        scratch_shapes=[pltpu.SemaphoreType.DMA((n_sems,))],
-    )
-    k2, v2 = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
-                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(src.astype(jnp.int32), k, v)
-    return {"k": k2, "v": v2}
-
-
 def _fork_kernel_factory(B: int, wave: int):
     def kernel(src_ref, k_in, v_in, k_out, v_out, sems):
         # In-place (aliased buffers): only rows whose source differs are

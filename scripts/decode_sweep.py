@@ -44,11 +44,7 @@ def main():
 
     bc = BeamConfig(beam_size=beam, entry_length=67, stop_token=-1,
                     cache_stages=stages, lane_beams=lanes,
-                    fused_attention=fused if fused else None,
-                    skip_reorder_unsafe=skip)
-    if not fused:
-        import dataclasses
-        bc = dataclasses.replace(bc, fused_attention=False)
+                    fused_attention=fused, skip_reorder_unsafe=skip)
 
     def run():
         toks, lens, scores, order = beam_search(params["gpt"], cfg.gpt2,

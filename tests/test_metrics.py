@@ -82,19 +82,23 @@ SENTENCES = [
     "Dogs don't play; they sleep (mostly) at the park...",
     "She said \"hello there\" and they'd already left.",
     "it is a well-lit room: two chairs, one table.",
+    "a dog [sic] runs (fast) past the {old} gate.",
 ]
 
 
 def test_ptb_tokenize_matches_nltk_treebank():
     """Our PTB word splitter vs nltk's TreebankWordTokenizer (the standard
     implementation of the same published rule set the Stanford tokenizer
-    in pycocoevalcap uses), after the COCO lowercase+punct-removal step."""
+    in pycocoevalcap uses), through the faithful COCO chain: tokenize →
+    lowercase tokens (the jar's -lowerCase lowercases escapes too, so
+    bracket tokens like '-lrb-' survive the uppercase PUNCTUATIONS
+    filter) → drop punctuation."""
     nltk = pytest.importorskip("nltk")
     from nltk.tokenize.treebank import TreebankWordTokenizer
     twt = TreebankWordTokenizer()
     for s in SENTENCES:
-        ref = [t for t in twt.tokenize(s.lower(), convert_parentheses=True)
-               if t not in metrics.PUNCTUATIONS]
+        toks = [t.lower() for t in twt.tokenize(s, convert_parentheses=True)]
+        ref = [t for t in toks if t not in metrics.PUNCTUATIONS]
         got = metrics.ptb_tokenize(s)
         assert got == ref, (s, got, ref)
 
@@ -212,3 +216,27 @@ def test_meteor_properties():
     scrambled = {1: ["wave a rides man a"]}
     refs = {1: ["a man rides a wave"]}
     assert metrics.meteor(good, refs) > metrics.meteor(scrambled, refs)
+
+
+def test_meteor_alignment_minimizes_chunks():
+    """METEOR picks, among maximal matchings, the one with fewest chunks;
+    a greedy left-to-right aligner gets 2 chunks here instead of 1."""
+    m, ch = metrics._meteor_align(["a", "b"], ["b", "a", "b"])
+    assert (m, ch) == (2, 1)
+
+
+def test_scorers_accept_pretokenized_and_empty_refs():
+    cands = {1: ["a dog runs."], 2: ["a cat sits."]}
+    refs = {1: ["a dog runs fast."], 2: []}
+    # no crash on an empty reference list, strings and tokens give the
+    # same scores
+    s1 = metrics.score_predictions(
+        [{"caption": c[0], "image_id": k} for k, c in cands.items()],
+        {"images": [{"id": 1}, {"id": 2}],
+         "annotations": [{"image_id": 1, "caption": refs[1][0], "id": 0}]})
+    assert s1["num_images"] == 1.0
+    r_str = metrics.rouge_l(cands, {1: refs[1], 2: []})
+    r_tok = metrics.rouge_l(
+        {k: [metrics.ptb_tokenize(v[0])] for k, v in cands.items()},
+        {1: [metrics.ptb_tokenize(refs[1][0])], 2: []})
+    assert r_str == r_tok
