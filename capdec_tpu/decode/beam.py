@@ -203,6 +203,12 @@ class BeamConfig:
     # Row-major cache only. None = auto (on on TPU).
     fused_attention: Optional[bool] = None
     fused_interpret: bool = False  # Pallas interpret mode (CPU tests)
+    # Chunked in-place slot write (ops.cache_reorder.write_gen_slot_chunk):
+    # per step, stream only the aligned 8-slot chunk containing `step`
+    # instead of XLA's dynamic-update-slice, whose masked RMW scales with
+    # the whole cache (~2 ms of the 10.5 ms step at batch 640, E=80).
+    # None = auto (on with fused attention).
+    chunk_slot_write: Optional[bool] = None
     # Perf-ablation ONLY: skip the cache permutation entirely. Results are
     # WRONG; this measures the no-reorder floor of the decode step.
     skip_reorder_unsafe: bool = False
@@ -231,13 +237,18 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
     # Cache slots padded to a multiple of 8 so whole-row DMA slices stay
     # aligned to the (8, 128) memref tiling (Mosaic requirement); slots
     # >= step are masked in attention, so padding is free correctness-wise.
-    E_pad = -(-E // 8) * 8
+    use_lanes = bc.lane_beams and not bc.ancestry
+    # The chunked slot write streams aligned 8-slot chunks — the same
+    # granularity as the 8-aligned stage buckets, so no extra padding.
+    # Row-major only (the seq-major layout's write isn't the bottleneck).
+    chunk_write = bool(bc.chunk_slot_write) and bc.rowmajor_cache
+    align = 8
+    E_pad = -(-E // align) * align
     init_cache = (gpt2.init_gen_cache_rowmajor if bc.rowmajor_cache
                   else gpt2.init_gen_cache)
-    use_lanes = bc.lane_beams and not bc.ancestry
     if use_lanes and bc.cache_stages > 1:
         S = bc.cache_stages
-        buckets = sorted({min(E_pad, -(-(E_pad * k) // (S * 8)) * 8)
+        buckets = sorted({min(E_pad, -(-(E_pad * k) // (S * align)) * align)
                           for k in range(1, S + 1)})
     else:
         buckets = [E_pad]
@@ -284,6 +295,7 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
             rowmajor=bc.rowmajor_cache,
             slot_write_kernel=bool(bc.pallas_slot_write)
             and bc.rowmajor_cache,
+            chunk_slot_write=chunk_write,
             fused_attention=bool(bc.fused_attention) and bc.rowmajor_cache
             and not bc.ancestry,
             fused_interpret=bc.fused_interpret)
@@ -460,6 +472,9 @@ def beam_search(params: Any, cfg: gpt2.GPT2Config, prefix_embeds: jnp.ndarray,
     if bc.fused_attention is None:
         bc = dataclasses.replace(
             bc, fused_attention=bc.pallas_reorder and bc.rowmajor_cache)
+    if bc.chunk_slot_write is None:
+        bc = dataclasses.replace(
+            bc, chunk_slot_write=bool(bc.fused_attention))
     return _beam_search_impl(params, cfg, bc, prefix_embeds)
 
 

@@ -396,6 +396,7 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                 anc_oh: Optional[jnp.ndarray] = None,
                 rowmajor: bool = False,
                 slot_write_kernel: bool = False,
+                chunk_slot_write: bool = False,
                 fused_attention: bool = False,
                 fused_interpret: bool = False
                 ) -> Tuple[jnp.ndarray, Params]:
@@ -571,7 +572,17 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                 body_rm, x, (params["blocks"], prefix_cache["k"],
                              prefix_cache["v"], jnp.arange(L)))
 
-        if slot_write_kernel:
+        if chunk_slot_write:
+            # Chunked in-place slot write (Pallas): stream only the
+            # aligned 16-slot chunk containing `step` instead of XLA's
+            # whole-cache masked RMW (~2 ms/step at batch 640, E=80).
+            # Requires E % 16 == 0 (beam.py 16-aligns the stage buckets).
+            from ..ops.cache_reorder import write_gen_slot_chunk
+            upd_cache = write_gen_slot_chunk(
+                genk, genv, ks.transpose(1, 0, 2), vs.transpose(1, 0, 2),
+                step, interpret=fused_interpret)
+            new_k, new_v = upd_cache["k"], upd_cache["v"]
+        elif slot_write_kernel:
             # Strided-DMA write of the new slot (Pallas, in place). XLA's
             # dynamic-update-slice at a dynamic slot index in the tiled
             # sublane dim lowers to a whole-cache masked RMW pass

@@ -169,6 +169,73 @@ def copy_forked_rows(k: jnp.ndarray, v: jnp.ndarray, src: jnp.ndarray,
     return {"k": k2, "v": v2}
 
 
+def _chunk_write_kernel(scal_ref, k_in, v_in, nk_in, nv_in, k_out, v_out):
+    # Blocks are the C-slot chunk containing `step` (aligned: chunk index
+    # rides the index map, so the block offset is a multiple of C). Only
+    # the slot `step % C` changes; the other C-1 slots pass through.
+    C = k_in.shape[2]
+    wi = scal_ref[0] % C
+    sel = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, C, 1), 2) == wi
+    k_out[:] = jnp.where(sel, nk_in[:], k_in[:])
+    v_out[:] = jnp.where(sel, nv_in[:], v_in[:])
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "chunk",
+                                             "interpret"))
+def write_gen_slot_chunk(k: jnp.ndarray, v: jnp.ndarray,
+                         new_k: jnp.ndarray, new_v: jnp.ndarray,
+                         step: jnp.ndarray, block_rows: int = 0,
+                         chunk: int = 8,
+                         interpret: bool = False) -> Dict[str, jnp.ndarray]:
+    """Write the new K/V slot `step` into the row-major [B, L, E, D] caches
+    in place, streaming ONLY the aligned `chunk`-slot chunk containing
+    `step`.
+
+    XLA's dynamic_update_slice at a dynamic index in the tiled slot dim
+    lowers to a masked RMW over the ENTIRE cache (~2 ms/step at batch 640,
+    E=80). Here the grid's chunk blocks (TB, L, C, D) are the only bytes
+    that move: C/E of the cache per write. `chunk` must divide E and be a
+    multiple of 8 (Mosaic's pipelined sublane-block granularity; beam.py
+    aligns the staged buckets accordingly).
+
+    k/v: [B, L, E, D] (donated, returned updated); new_k/new_v: [B, L, D];
+    step: int32 scalar array."""
+    B, L, E, D = k.shape
+    C = chunk
+    if C % 8 or E % C:
+        raise ValueError(f"chunk ({C}) must be a multiple of 8 and "
+                         f"divide E ({E})")
+    if not block_rows:
+        # 4 chunk buffers (k/v in/out) double-buffered must fit a ~10 MB
+        # VMEM budget (16 MB total on v5e).
+        budget = 10 * 2 ** 20
+        block_rows = max(1, budget // (8 * L * C * D * k.dtype.itemsize))
+    TB = min(block_rows, B)
+    while B % TB:
+        TB -= 1
+    grid = (B // TB,)
+    chunk_spec = pl.BlockSpec((TB, L, C, D),
+                              lambda i, s, C=C: (i, 0, s[0] // C, 0))
+    new_spec = pl.BlockSpec((TB, L, 1, D), lambda i, s: (i, 0, 0, 0))
+    k2, v2 = pl.pallas_call(
+        _chunk_write_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[chunk_spec, chunk_spec, new_spec, new_spec],
+            out_specs=[chunk_spec, chunk_spec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        input_output_aliases={1: 0, 2: 1},
+        interpret=interpret,
+    )(step.reshape(1).astype(jnp.int32), k, v,
+      new_k[:, :, None, :].astype(k.dtype),
+      new_v[:, :, None, :].astype(v.dtype))
+    return {"k": k2, "v": v2}
+
+
 def _write_slot_kernel(step_ref, kp_in, vp_in, k_in, v_in, k_out, v_out,
                        sems):
     # kp/vp: [B, L, 2, D] — the updated 2-slot pair window starting at the

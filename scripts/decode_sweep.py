@@ -21,6 +21,7 @@ def main():
     lanes = bool(int(opts.get("lanes", 1)))
     beam = int(opts.get("beam", 5))
     iters = int(opts.get("iters", 5))
+    chunk = opts.get("chunk")  # chunked slot write: 0/1, unset = auto
 
     from capdec_tpu.utils.jax_setup import setup_jax
     setup_jax()
@@ -44,7 +45,9 @@ def main():
 
     bc = BeamConfig(beam_size=beam, entry_length=67, stop_token=-1,
                     cache_stages=stages, lane_beams=lanes,
-                    fused_attention=fused, skip_reorder_unsafe=skip)
+                    fused_attention=fused, skip_reorder_unsafe=skip,
+                    chunk_slot_write=None if chunk is None
+                    else bool(int(chunk)))
 
     def run():
         toks, lens, scores, order = beam_search(params["gpt"], cfg.gpt2,
@@ -60,7 +63,7 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     print(json.dumps({
         "N": N, "stages": stages, "fused": fused, "skip": skip,
-        "lanes": lanes, "beam": beam,
+        "lanes": lanes, "beam": beam, "chunk": bc.chunk_slot_write,
         "caps_per_s": round(N / dt, 1),
         "ms_per_step": round(dt / 67 * 1000, 2),
         "compile_s": round(compile_s, 1),

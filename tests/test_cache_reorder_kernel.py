@@ -35,6 +35,32 @@ def test_bounded_reorder_matches_take_on_valid_slots():
                                       v[:, src][:, :, :count])
 
 
+def test_write_gen_slot_chunk_matches_dus():
+    """Chunked in-place slot write (the production beam slot write on TPU)
+    == plain dynamic_update_slice, across chunk boundaries and for
+    non-divisible block_rows."""
+    from capdec_tpu.ops.cache_reorder import write_gen_slot_chunk
+    rng = np.random.RandomState(3)
+    B, L, E, D = 10, 3, 48, 256
+    k = rng.randn(B, L, E, D).astype(np.float32)
+    v = rng.randn(B, L, E, D).astype(np.float32)
+    kn = rng.randn(B, L, D).astype(np.float32)
+    vn = rng.randn(B, L, D).astype(np.float32)
+    for chunk in (8, 16):
+        for step in (0, 7, 8, 15, 16, 31, 47):
+            out = write_gen_slot_chunk(jnp.asarray(k), jnp.asarray(v),
+                                       jnp.asarray(kn), jnp.asarray(vn),
+                                       jnp.asarray(step, jnp.int32),
+                                       block_rows=4, chunk=chunk,
+                                       interpret=True)
+            ref_k, ref_v = k.copy(), v.copy()
+            ref_k[:, :, step, :] = kn
+            ref_v[:, :, step, :] = vn
+            np.testing.assert_array_equal(np.asarray(out["k"]), ref_k,
+                                          f"step={step} chunk={chunk}")
+            np.testing.assert_array_equal(np.asarray(out["v"]), ref_v)
+
+
 def test_write_gen_slot_matches_dus():
     from capdec_tpu.ops.cache_reorder import write_gen_slot
     rng = np.random.RandomState(2)

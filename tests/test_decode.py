@@ -325,17 +325,24 @@ def test_greedy_fused_attention_matches_xla_path(models):
     np.testing.assert_array_equal(t1, t2)
 
 
-def test_beam_fused_attention_matches_xla_path(models):
+@pytest.mark.parametrize("chunk_write,entry_length",
+                         [(False, 12), (True, 12), (True, 40)])
+def test_beam_fused_attention_matches_xla_path(models, chunk_write,
+                                               entry_length):
     """The PRODUCTION TPU beam config (lane beams + staged cache growth +
-    fused row-major Pallas attention) run end-to-end in interpret mode on
-    CPU emits the same captions as the XLA attention path."""
+    fused row-major Pallas attention, with and without the chunked
+    slot-write kernel — entry_length 40 crosses several 16-slot chunks
+    and stage growths) run end-to-end in interpret mode on CPU emits the
+    same captions as the XLA attention path."""
     tm, params, cfg = models
-    K, E, R = 6, 12, 4
+    K, E, R = 6, entry_length, 4
     prefixes = _random_prefixes(3, K, SMALL["n_embd"], seed=21)
     base = dict(beam_size=R, entry_length=E, stop_token=13,
                 pallas_reorder=False)
-    bc_xla = BeamConfig(fused_attention=False, **base)
-    bc_fused = BeamConfig(fused_attention=True, fused_interpret=True, **base)
+    bc_xla = BeamConfig(fused_attention=False, chunk_slot_write=False,
+                        **base)
+    bc_fused = BeamConfig(fused_attention=True, fused_interpret=True,
+                          chunk_slot_write=chunk_write, **base)
     r1 = jax.tree.map(np.asarray,
                       beam_search(params, cfg, jnp.asarray(prefixes), bc_xla))
     r2 = jax.tree.map(np.asarray,
