@@ -42,6 +42,15 @@ class ToppConfig:
     # variant. (The beam engine, R=5, wins big with the same kernel.)
     fused_attention: Optional[bool] = None
     fused_interpret: bool = False  # Pallas interpret mode (CPU tests)
+    # Chunked in-place slot write (ops.cache_reorder
+    # .write_gen_slot_chunk_seqmajor). Measured SLOWER than the plain
+    # dynamic-update-slice here (753 vs 1069 captions/s at batch 256 on
+    # TPU v5e): unlike the row-major beam cache, the seq-major [L,B,E,D]
+    # slot DUS does not degrade to a whole-cache RMW, so the kernel only
+    # adds launch + aliasing-copy overhead. Default False; kept as an
+    # oracle-tested variant. (The beam engine's row-major variant of the
+    # same kernel wins big: 181 -> 219 caps/s.)
+    chunk_slot_write: Optional[bool] = None
 
 
 def nucleus_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
@@ -88,11 +97,15 @@ def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
                              tok0 == tc.extra_stop_token)
     lengths = jnp.ones((N,), jnp.int32)
     fused = bool(tc.fused_attention)
+    chunk_write = bool(tc.chunk_slot_write) and not fused
     if fused:
         # slot dim padded to the (8, 128) memref tiling, masked in attention
         gen_cache = gpt2.init_gen_cache_rowmajor(cfg, N, -(-E // 8) * 8)
     else:
-        gen_cache = gpt2.init_gen_cache(cfg, N, E)
+        # chunk write streams aligned 8-slot chunks -> pad E likewise
+        # (slots >= step are masked in attention, padding is free)
+        E_pad = -(-E // 8) * 8 if chunk_write else E
+        gen_cache = gpt2.init_gen_cache(cfg, N, E_pad)
     cur = gpt2.embed_tokens(params, tok0)
 
     def cond(c):
@@ -104,6 +117,7 @@ def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
         logits, gen_cache = gpt2.decode_step(params, cfg, cur, prefix_cache,
                                              gen_cache, i - 1,
                                              rowmajor=fused,
+                                             chunk_slot_write=chunk_write,
                                              fused_attention=fused,
                                              fused_interpret=tc.fused_interpret)
         key, kp = jax.random.split(key)
@@ -134,6 +148,8 @@ def greedy_topp_search(params: Any, cfg: gpt2.GPT2Config,
         key = jax.random.PRNGKey(0)
     if tc.fused_attention is None:
         tc = dataclasses.replace(tc, fused_attention=False)
+    if tc.chunk_slot_write is None:
+        tc = dataclasses.replace(tc, chunk_slot_write=False)
     return _greedy_impl(params, cfg, tc, prefix_embeds, key)
 
 

@@ -607,12 +607,24 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
         x, (ks, vs) = lax.scan(
             body, x, (params["blocks"], prefix_cache["k"],
                       prefix_cache["v"], gen_cache["k"], gen_cache["v"]))
-        new_k = lax.dynamic_update_slice(
-            gen_cache["k"], ks[:, :, None, :].astype(gen_cache["k"].dtype),
-            (0, 0, step, 0))
-        new_v = lax.dynamic_update_slice(
-            gen_cache["v"], vs[:, :, None, :].astype(gen_cache["v"].dtype),
-            (0, 0, step, 0))
+        if chunk_slot_write:
+            # Same masked-RMW pathology as the row-major layout: the DUS
+            # below streams the whole [L, B, E, D] cache per step; the
+            # chunk kernel streams only the aligned 8-slot chunk.
+            from ..ops.cache_reorder import write_gen_slot_chunk_seqmajor
+            upd_cache = write_gen_slot_chunk_seqmajor(
+                gen_cache["k"], gen_cache["v"], ks, vs, step,
+                interpret=fused_interpret)
+            new_k, new_v = upd_cache["k"], upd_cache["v"]
+        else:
+            new_k = lax.dynamic_update_slice(
+                gen_cache["k"],
+                ks[:, :, None, :].astype(gen_cache["k"].dtype),
+                (0, 0, step, 0))
+            new_v = lax.dynamic_update_slice(
+                gen_cache["v"],
+                vs[:, :, None, :].astype(gen_cache["v"].dtype),
+                (0, 0, step, 0))
     logits = _final_logits(params, cfg, x)[:, 0]
     return logits, {"k": new_k, "v": new_v}
 

@@ -181,6 +181,57 @@ def _chunk_write_kernel(scal_ref, k_in, v_in, nk_in, nv_in, k_out, v_out):
     v_out[:] = jnp.where(sel, nv_in[:], v_in[:])
 
 
+def _write_chunk_impl(k, v, new_k4, new_v4, step, row_axis: int,
+                      block_rows: int, chunk: int, interpret: bool):
+    """Shared chunk-write pallas_call for both cache layouts.
+
+    row_axis 0: row-major [B, L, E, D]; row_axis 1: seq-major
+    [L, B, E, D]. The slot dim is always axis 2, so the kernel body is
+    layout-agnostic; only the BlockSpecs differ. new_k4/new_v4 match the
+    cache rank with a size-1 slot dim."""
+    C = chunk
+    B = k.shape[row_axis]
+    L = k.shape[1 - row_axis]
+    E, D = k.shape[2], k.shape[3]
+    if C % 8 or E % C:
+        raise ValueError(f"chunk ({C}) must be a multiple of 8 and "
+                         f"divide E ({E})")
+    if not block_rows:
+        # 4 chunk buffers (k/v in/out) double-buffered must fit a ~10 MB
+        # VMEM budget (16 MB total on v5e).
+        budget = 10 * 2 ** 20
+        block_rows = max(1, budget // (8 * L * C * D * k.dtype.itemsize))
+    TB = min(block_rows, B)
+    while B % TB:
+        TB -= 1
+    grid = (B // TB,)
+    if row_axis == 0:
+        chunk_block, new_block = (TB, L, C, D), (TB, L, 1, D)
+        chunk_idx = lambda i, s, C=C: (i, 0, s[0] // C, 0)
+        new_idx = lambda i, s: (i, 0, 0, 0)
+    else:
+        chunk_block, new_block = (L, TB, C, D), (L, TB, 1, D)
+        chunk_idx = lambda i, s, C=C: (0, i, s[0] // C, 0)
+        new_idx = lambda i, s: (0, i, 0, 0)
+    chunk_spec = pl.BlockSpec(chunk_block, chunk_idx)
+    new_spec = pl.BlockSpec(new_block, new_idx)
+    k2, v2 = pl.pallas_call(
+        _chunk_write_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[chunk_spec, chunk_spec, new_spec, new_spec],
+            out_specs=[chunk_spec, chunk_spec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        input_output_aliases={1: 0, 2: 1},
+        interpret=interpret,
+    )(step.reshape(1).astype(jnp.int32), k, v,
+      new_k4.astype(k.dtype), new_v4.astype(v.dtype))
+    return {"k": k2, "v": v2}
+
+
 @functools.partial(jax.jit, static_argnames=("block_rows", "chunk",
                                              "interpret"))
 def write_gen_slot_chunk(k: jnp.ndarray, v: jnp.ndarray,
@@ -201,39 +252,24 @@ def write_gen_slot_chunk(k: jnp.ndarray, v: jnp.ndarray,
 
     k/v: [B, L, E, D] (donated, returned updated); new_k/new_v: [B, L, D];
     step: int32 scalar array."""
-    B, L, E, D = k.shape
-    C = chunk
-    if C % 8 or E % C:
-        raise ValueError(f"chunk ({C}) must be a multiple of 8 and "
-                         f"divide E ({E})")
-    if not block_rows:
-        # 4 chunk buffers (k/v in/out) double-buffered must fit a ~10 MB
-        # VMEM budget (16 MB total on v5e).
-        budget = 10 * 2 ** 20
-        block_rows = max(1, budget // (8 * L * C * D * k.dtype.itemsize))
-    TB = min(block_rows, B)
-    while B % TB:
-        TB -= 1
-    grid = (B // TB,)
-    chunk_spec = pl.BlockSpec((TB, L, C, D),
-                              lambda i, s, C=C: (i, 0, s[0] // C, 0))
-    new_spec = pl.BlockSpec((TB, L, 1, D), lambda i, s: (i, 0, 0, 0))
-    k2, v2 = pl.pallas_call(
-        _chunk_write_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[chunk_spec, chunk_spec, new_spec, new_spec],
-            out_specs=[chunk_spec, chunk_spec],
-        ),
-        out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
-                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
-        input_output_aliases={1: 0, 2: 1},
-        interpret=interpret,
-    )(step.reshape(1).astype(jnp.int32), k, v,
-      new_k[:, :, None, :].astype(k.dtype),
-      new_v[:, :, None, :].astype(v.dtype))
-    return {"k": k2, "v": v2}
+    return _write_chunk_impl(k, v, new_k[:, :, None, :],
+                             new_v[:, :, None, :], step, 0, block_rows,
+                             chunk, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "chunk",
+                                             "interpret"))
+def write_gen_slot_chunk_seqmajor(
+        k: jnp.ndarray, v: jnp.ndarray, new_k: jnp.ndarray,
+        new_v: jnp.ndarray, step: jnp.ndarray, block_rows: int = 0,
+        chunk: int = 8, interpret: bool = False) -> Dict[str, jnp.ndarray]:
+    """`write_gen_slot_chunk` for the seq-major [L, B, E, D] cache layout
+    (greedy/top-p decode, which never reorders rows).
+
+    new_k/new_v: [L, B, D] (the decode scan's stacked per-layer K/V)."""
+    return _write_chunk_impl(k, v, new_k[:, :, None, :],
+                             new_v[:, :, None, :], step, 1, block_rows,
+                             chunk, interpret)
 
 
 def _write_slot_kernel(step_ref, kp_in, vp_in, k_in, v_in, k_out, v_out,

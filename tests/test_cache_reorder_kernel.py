@@ -61,6 +61,28 @@ def test_write_gen_slot_chunk_matches_dus():
             np.testing.assert_array_equal(np.asarray(out["v"]), ref_v)
 
 
+def test_write_gen_slot_chunk_seqmajor_matches_dus():
+    """Seq-major variant (greedy decode's [L, B, E, D] cache layout)."""
+    from capdec_tpu.ops.cache_reorder import write_gen_slot_chunk_seqmajor
+    rng = np.random.RandomState(4)
+    L, B, E, D = 3, 10, 24, 256
+    k = rng.randn(L, B, E, D).astype(np.float32)
+    v = rng.randn(L, B, E, D).astype(np.float32)
+    kn = rng.randn(L, B, D).astype(np.float32)
+    vn = rng.randn(L, B, D).astype(np.float32)
+    for step in (0, 7, 8, 23):
+        out = write_gen_slot_chunk_seqmajor(
+            jnp.asarray(k), jnp.asarray(v), jnp.asarray(kn),
+            jnp.asarray(vn), jnp.asarray(step, jnp.int32),
+            block_rows=4, interpret=True)
+        ref_k, ref_v = k.copy(), v.copy()
+        ref_k[:, :, step, :] = kn
+        ref_v[:, :, step, :] = vn
+        np.testing.assert_array_equal(np.asarray(out["k"]), ref_k,
+                                      f"step={step}")
+        np.testing.assert_array_equal(np.asarray(out["v"]), ref_v)
+
+
 def test_write_gen_slot_matches_dus():
     from capdec_tpu.ops.cache_reorder import write_gen_slot
     rng = np.random.RandomState(2)

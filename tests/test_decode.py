@@ -325,6 +325,29 @@ def test_greedy_fused_attention_matches_xla_path(models):
     np.testing.assert_array_equal(t1, t2)
 
 
+def test_greedy_chunk_slot_write_matches_plain_path(models):
+    """Greedy decode with the seq-major chunked slot-write kernel
+    (production on TPU; interpret mode here) emits the same tokens as the
+    plain DUS path, including the E -> 8-aligned cache padding and an
+    entry_length crossing a chunk boundary."""
+    tm, params, cfg = models
+    K, E = 5, 11  # E % 8 != 0: exercises the pad; crosses chunk 0 -> 1
+    prefixes = _random_prefixes(4, K, SMALL["n_embd"], seed=12)
+    tc_plain = ToppConfig(entry_length=E, stop_token=13,
+                          extra_stop_token=764, chunk_slot_write=False)
+    tc_chunk = ToppConfig(entry_length=E, stop_token=13,
+                          extra_stop_token=764, chunk_slot_write=True,
+                          fused_interpret=True)
+    t1, l1 = jax.tree.map(
+        np.asarray,
+        greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc_plain))
+    t2, l2 = jax.tree.map(
+        np.asarray,
+        greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc_chunk))
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_array_equal(t1, t2)
+
+
 @pytest.mark.parametrize("chunk_write,entry_length",
                          [(False, 12), (True, 12), (True, 40)])
 def test_beam_fused_attention_matches_xla_path(models, chunk_write,
