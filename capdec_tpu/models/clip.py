@@ -457,3 +457,113 @@ def init_text_params(key, cfg: CLIPTextConfig, dtype=jnp.float32) -> Params:
         "ln_final": {"scale": jnp.ones((W,), dtype), "bias": jnp.zeros((W,), dtype)},
         "text_projection": jax.random.normal(ks[2], (W, cfg.embed_dim), dtype) * 0.02,
     }
+
+
+def _init_resblocks(key, n_layers, W, dtype):
+    def lin(k, i, o, scale=0.02):
+        kw, _ = jax.random.split(k)
+        return {"w": jax.random.normal(kw, (i, o), dtype) * scale,
+                "b": jnp.zeros((o,), dtype)}
+
+    blocks = []
+    for li in range(n_layers):
+        k1, k2, k3, k4 = jax.random.split(jax.random.fold_in(key, li), 4)
+        blocks.append({
+            "ln_1": {"scale": jnp.ones((W,), dtype),
+                     "bias": jnp.zeros((W,), dtype)},
+            "attn": {"in_proj": lin(k1, W, 3 * W),
+                     "out_proj": lin(k2, W, W)},
+            "ln_2": {"scale": jnp.ones((W,), dtype),
+                     "bias": jnp.zeros((W,), dtype)},
+            "mlp": {"c_fc": lin(k3, W, 4 * W),
+                    "c_proj": lin(k4, 4 * W, W)},
+        })
+    return _stack(blocks)
+
+
+def init_vit_params(key, cfg: CLIPViTConfig, dtype=jnp.float32) -> Params:
+    """Random ViT image-tower params (tests/benchmarks; real weights come
+    from `params_from_openai_state_dict`)."""
+    ks = jax.random.split(key, 5)
+    W = cfg.width
+    n_pos = (cfg.image_resolution // cfg.patch_size) ** 2 + 1
+    return {
+        "conv1": jax.random.normal(
+            ks[0], (cfg.patch_size, cfg.patch_size, 3, W), dtype) * 0.02,
+        "class_embedding": jax.random.normal(ks[1], (W,), dtype) * 0.02,
+        "positional_embedding": jax.random.normal(
+            ks[2], (n_pos, W), dtype) * 0.01,
+        "ln_pre": {"scale": jnp.ones((W,), dtype),
+                   "bias": jnp.zeros((W,), dtype)},
+        "resblocks": _init_resblocks(ks[3], cfg.layers, W, dtype),
+        "ln_post": {"scale": jnp.ones((W,), dtype),
+                    "bias": jnp.zeros((W,), dtype)},
+        "proj": jax.random.normal(ks[4], (W, cfg.embed_dim), dtype) * 0.02,
+    }
+
+
+def init_resnet_params(key, cfg: CLIPResNetConfig,
+                       dtype=jnp.float32) -> Params:
+    """Random modified-ResNet image-tower params (OpenAI CLIP topology:
+    3-conv stem, anti-aliased bottlenecks, attention pool)."""
+    def bn(c):
+        return {"scale": jnp.ones((c,), dtype),
+                "bias": jnp.zeros((c,), dtype),
+                "mean": jnp.zeros((c,), dtype),
+                "var": jnp.ones((c,), dtype)}
+
+    def conv(k, kh, kw, ci, co):
+        fan = kh * kw * ci
+        return jax.random.normal(k, (kh, kw, ci, co), dtype) * fan ** -0.5
+
+    def lin(k, i, o):
+        return {"w": jax.random.normal(k, (i, o), dtype) * i ** -0.5,
+                "b": jnp.zeros((o,), dtype)}
+
+    W = cfg.width
+    p: Params = {
+        "conv1": conv(jax.random.fold_in(key, 0), 3, 3, 3, W // 2),
+        "bn1": bn(W // 2),
+        "conv2": conv(jax.random.fold_in(key, 1), 3, 3, W // 2, W // 2),
+        "bn2": bn(W // 2),
+        "conv3": conv(jax.random.fold_in(key, 2), 3, 3, W // 2, W),
+        "bn3": bn(W),
+    }
+    inplanes = W
+    for stage, n_blocks in enumerate(cfg.layers):
+        planes = W * 2 ** stage
+        blocks = []
+        for j in range(n_blocks):
+            k = jax.random.fold_in(key, 10 + 10 * stage + j)
+            blk = {
+                "conv1": conv(jax.random.fold_in(k, 0), 1, 1, inplanes,
+                              planes),
+                "bn1": bn(planes),
+                "conv2": conv(jax.random.fold_in(k, 1), 3, 3, planes,
+                              planes),
+                "bn2": bn(planes),
+                "conv3": conv(jax.random.fold_in(k, 2), 1, 1, planes,
+                              planes * 4),
+                "bn3": bn(planes * 4),
+            }
+            if j == 0:
+                blk["downsample"] = {
+                    "conv": conv(jax.random.fold_in(k, 3), 1, 1, inplanes,
+                                 planes * 4),
+                    "bn": bn(planes * 4),
+                }
+                inplanes = planes * 4
+            blocks.append(blk)
+        p[f"layer{stage + 1}"] = blocks
+    C = W * 32
+    n_pos = (cfg.image_resolution // 32) ** 2 + 1
+    kp = jax.random.fold_in(key, 99)
+    p["attnpool"] = {
+        "positional_embedding": jax.random.normal(
+            jax.random.fold_in(kp, 0), (n_pos, C), dtype) * C ** -0.5,
+        "q_proj": lin(jax.random.fold_in(kp, 1), C, C),
+        "k_proj": lin(jax.random.fold_in(kp, 2), C, C),
+        "v_proj": lin(jax.random.fold_in(kp, 3), C, C),
+        "c_proj": lin(jax.random.fold_in(kp, 4), C, cfg.embed_dim),
+    }
+    return p

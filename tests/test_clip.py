@@ -336,3 +336,23 @@ def test_resnet_encoder_parity():
     got = np.asarray(clip_lib.encode_image_resnet(params["visual"], vcfg,
                                                   jnp.asarray(imgs)))
     np.testing.assert_allclose(got, ref, atol=3e-4, rtol=3e-4)
+
+
+def test_random_init_towers_run_finite():
+    """init_vit_params / init_resnet_params build the same topology the
+    converter emits (tiny configs) and encode to finite embeddings."""
+    import jax
+    vcfg = clip_lib.CLIPViTConfig(image_resolution=64, patch_size=32,
+                                  width=64, layers=2, heads=4, embed_dim=32)
+    vp = clip_lib.init_vit_params(jax.random.PRNGKey(0), vcfg)
+    out = clip_lib.encode_image_vit(vp, vcfg, jnp.zeros((2, 64, 64, 3)))
+    assert out.shape == (2, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+    rcfg = clip_lib.CLIPResNetConfig(layers=(1, 1, 1, 1), width=16,
+                                     image_resolution=64, embed_dim=32)
+    rp = clip_lib.init_resnet_params(jax.random.PRNGKey(1), rcfg)
+    out = clip_lib.encode_image_resnet(rp, rcfg,
+                                       jnp.ones((2, 64, 64, 3)) * 0.1)
+    assert out.shape == (2, 32)
+    assert np.isfinite(np.asarray(out)).all()
