@@ -59,6 +59,20 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     captions_per_sec = N / dt
 
+    # --- opt-in int8 KV cache (serving knob; not token-identical) -----------
+    import dataclasses
+    bc_q = dataclasses.replace(bc, kv_cache_int8=True, fused_attention=True)
+
+    def run_q():
+        toks, *_ = beam_search(params["gpt"], cfg.gpt2, prefix_embeds, bc_q)
+        jax.block_until_ready(toks)
+
+    run_q()  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run_q()
+    int8_caps = N / ((time.perf_counter() - t0) / iters)
+
     # --- reference-algorithm baseline on the same chip ----------------------
     # batch-1, beam-5, no KV cache: re-forward the full growing sequence
     # every step (gpt2_prefix_eval.py:76) at the mean decode length.
@@ -180,6 +194,7 @@ def main():
         "value": round(captions_per_sec, 2),
         "unit": "captions/s",
         "vs_baseline": round(ratio, 2),
+        "int8_kv_captions_per_sec": round(int8_caps, 1),
         "greedy_captions_per_sec": round(greedy_caps, 1),
         "train_samples_per_sec": round(train_sps, 1),
         "train_vs_baseline": round(train_sps / baseline_train_sps, 2),

@@ -79,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard eval batches over a device mesh: 'dp' count (e.g. '4')")
     p.add_argument('--bf16', action='store_true', default=True)
     p.add_argument('--no_bf16', dest='bf16', action='store_false')
+    p.add_argument('--int8_kv', action='store_true', default=False,
+                   help='opt-in int8 KV cache for beam decode (~25%% more '
+                        'throughput; captions are not token-identical to '
+                        'the bf16 path)')
     return p
 
 
@@ -176,8 +180,14 @@ def main(argv=None):
     if args.mesh:
         from ..parallel import mesh as mesh_lib
         mesh = mesh_lib.make_mesh(dp=int(args.mesh), tp=1)
+    import dataclasses as _dc
+    from ..decode import BeamConfig
+    bc = BeamConfig()
+    if args.int8_kv:
+        bc = _dc.replace(bc, kv_cache_int8=True, fused_attention=True)
     pcfg = pred_lib.PredictConfig(
         beam=args.beam, batch_size=args.batch_size,
+        beam_config=bc,
         dont_normalize_prefix=args.dont_normalize_prefix,
         add_modality_offset=args.add_modality_offset, modality_offset=offset,
         text_autoencoder=args.text_autoencoder,

@@ -209,6 +209,13 @@ class BeamConfig:
     # the whole cache (~2 ms of the 10.5 ms step at batch 640, E=80).
     # None = auto (on with fused attention).
     chunk_slot_write: Optional[bool] = None
+    # OPT-IN int8 KV cache: generated K/V stored as int8 levels with
+    # per-(row, layer, slot) absmax scales — every cache-byte-
+    # proportional cost (attention streaming, slot write, fork copies)
+    # halves. Results are NOT token-identical to the bf16 path (8-bit
+    # quantization); quality impact is pinned by the synthetic
+    # convergence test. Requires the fused-attention row-major lane path.
+    kv_cache_int8: bool = False
     # Perf-ablation ONLY: skip the cache permutation entirely. Results are
     # WRONG; this measures the no-reorder floor of the decode step.
     skip_reorder_unsafe: bool = False
@@ -242,10 +249,22 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
     # granularity as the 8-aligned stage buckets, so no extra padding.
     # Row-major only (the seq-major layout's write isn't the bottleneck).
     chunk_write = bool(bc.chunk_slot_write) and bc.rowmajor_cache
+    # 8-aligned buckets for BOTH cache dtypes: 32-aligning the int8
+    # buckets (to match int8's (32, 128) tiling) was measured SLOWER
+    # (221.8 vs 237.1 caps/s at N=128) — the coarser staged growth costs
+    # more than any intra-tile padding saves.
     align = 8
     E_pad = -(-E // align) * align
-    init_cache = (gpt2.init_gen_cache_rowmajor if bc.rowmajor_cache
-                  else gpt2.init_gen_cache)
+    if bc.kv_cache_int8:
+        if not (bc.rowmajor_cache and use_lanes and bc.fused_attention):
+            raise ValueError(
+                "kv_cache_int8 requires the fused-attention row-major "
+                "lane-beams path (rowmajor_cache + lane_beams + "
+                "fused_attention)")
+        init_cache = gpt2.init_gen_cache_rowmajor_int8
+    else:
+        init_cache = (gpt2.init_gen_cache_rowmajor if bc.rowmajor_cache
+                      else gpt2.init_gen_cache)
     if use_lanes and bc.cache_stages > 1:
         S = bc.cache_stages
         buckets = sorted({min(E_pad, -(-(E_pad * k) // (S * align)) * align)
@@ -285,8 +304,19 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
             # deferred fork fix-up for the PREVIOUS selection; whole rows
             # are copied (the slot written below is overwritten anyway)
             if bc.rowmajor_cache and bc.pallas_reorder:
-                gen_cache = copy_forked_rows(gen_cache["k"],
-                                             gen_cache["v"], pending_src)
+                fixed = copy_forked_rows(gen_cache["k"],
+                                         gen_cache["v"], pending_src)
+                if bc.kv_cache_int8:
+                    # scales are tiny ([B, L, 1, E] f32): one exact
+                    # one-hot contraction instead of a kernel launch
+                    P = jax.nn.one_hot(pending_src, N * R,
+                                       dtype=jnp.float32)
+                    perm = lambda a: jnp.einsum(
+                        "bs,slxe->blxe", P, a,
+                        preferred_element_type=jnp.float32).astype(a.dtype)
+                    fixed = {**fixed, "ks": perm(gen_cache["ks"]),
+                             "vs": perm(gen_cache["vs"])}
+                gen_cache = fixed
             else:
                 gen_cache = _reorder_gen_cache(gen_cache, pending_src, bc)
         logits, gen_cache = gpt2.decode_step(

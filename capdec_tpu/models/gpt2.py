@@ -384,6 +384,20 @@ def init_gen_cache_rowmajor(cfg: GPT2Config, batch: int, max_new: int,
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+def init_gen_cache_rowmajor_int8(cfg: GPT2Config, batch: int,
+                                 max_new: int) -> Params:
+    """Row-major int8 gen cache: levels [B, L, E, D] int8 plus per-slot
+    absmax scales [B, L, 1, E] f32 (value = level * scale). Written by
+    ops.cache_reorder.write_gen_slot_chunk_q, read by the quantized fused
+    attention kernel — half the streaming bytes of the bf16 cache."""
+    shape = (batch, cfg.n_layer, max_new, cfg.n_embd)
+    sshape = (batch, cfg.n_layer, 1, max_new)
+    return {"k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "ks": jnp.zeros(sshape, jnp.float32),
+            "vs": jnp.zeros(sshape, jnp.float32)}
+
+
 def repeat_prefix_cache(prefix_cache: Params, repeats: int) -> Params:
     """Tile a [L, N, ...] prefix cache to [L, N*R, ...] (unified-cache path)."""
     return jax.tree.map(
@@ -541,6 +555,38 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
 
     if rowmajor:
         genk, genv = gen_cache["k"], gen_cache["v"]  # [B, L, E, D]
+        int8_cache = "ks" in gen_cache
+
+        if int8_cache:
+            # int8 levels + per-slot scales: quantized fused attention and
+            # the quantizing chunk write (write_gen_slot_chunk_q) are the
+            # only supported paths for this cache layout.
+            from ..ops.cache_reorder import write_gen_slot_chunk_q
+            from ..ops.decode_attention import (
+                beam_decode_attention_rowmajor_q)
+            pk_all = prefix_cache["k"]
+            pv_all = prefix_cache["v"]
+            gks, gvs = gen_cache["ks"], gen_cache["vs"]
+
+            def body_q(x, inputs):
+                layer, l = inputs
+
+                def attn_fn(q, k_new, v_new):
+                    return beam_decode_attention_rowmajor_q(
+                        q, k_new, v_new, pk_all, pv_all, genk, genv,
+                        gks, gvs, step, l, beams_per_image=R, head_dim=hd,
+                        interpret=fused_interpret)
+
+                return body_core(x, layer, None, None, None, None,
+                                 attn_fn=attn_fn)
+
+            x, (ks, vs) = lax.scan(
+                body_q, x, (params["blocks"], jnp.arange(L)))
+            upd = write_gen_slot_chunk_q(
+                genk, genv, gks, gvs, ks.transpose(1, 0, 2),
+                vs.transpose(1, 0, 2), step, interpret=fused_interpret)
+            logits = _final_logits(params, cfg, x)[:, 0]
+            return logits, upd
 
         if fused_attention:
             from ..ops.decode_attention import beam_decode_attention_rowmajor

@@ -272,6 +272,82 @@ def write_gen_slot_chunk_seqmajor(
                              chunk, interpret)
 
 
+def _chunk_write_q_kernel(scal_ref, k_in, v_in, ks_in, vs_in, nk_in, nv_in,
+                          k_out, v_out, ks_out, vs_out):
+    # int8 variant: quantize the new slot's K/V (per-row absmax over D)
+    # and insert level + scale into the aliased chunk/scale blocks.
+    C = k_in.shape[2]
+    E = ks_in.shape[3]
+    step = scal_ref[0]
+    wi = step % C
+    sel = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C, 1), 2) == wi
+
+    def quant(new):
+        x = new[:].astype(jnp.float32)              # [TB, L, 1, D]
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        s = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+        return q, s
+
+    qk, sk = quant(nk_in)
+    qv, sv = quant(nv_in)
+    k_out[:] = jnp.where(sel, qk, k_in[:])
+    v_out[:] = jnp.where(sel, qv, v_in[:])
+    lane_sel = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, E), 3) == step
+    ks_out[:] = jnp.where(lane_sel, sk, ks_in[:])
+    vs_out[:] = jnp.where(lane_sel, sv, vs_in[:])
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "chunk",
+                                             "interpret"))
+def write_gen_slot_chunk_q(k: jnp.ndarray, v: jnp.ndarray,
+                           ks: jnp.ndarray, vs: jnp.ndarray,
+                           new_k: jnp.ndarray, new_v: jnp.ndarray,
+                           step: jnp.ndarray, block_rows: int = 0,
+                           chunk: int = 8,
+                           interpret: bool = False) -> Dict[str, jnp.ndarray]:
+    """`write_gen_slot_chunk` for the int8 generated cache: quantizes the
+    new slot (per-(row, layer) absmax over D -> int8 level + f32 scale)
+    and writes level chunk + scale lane in place.
+
+    k/v: int8 [B, L, E, D] (donated); ks/vs: f32 [B, L, 1, E] scales
+    (donated); new_k/new_v: [B, L, D] unquantized; step: int32 scalar."""
+    B, L, E, D = k.shape
+    C = chunk
+    if C % 8 or E % C:
+        raise ValueError(f"chunk ({C}) must be a multiple of 8 and "
+                         f"divide E ({E})")
+    if not block_rows:
+        budget = 10 * 2 ** 20
+        block_rows = max(1, budget // (8 * L * C * D * k.dtype.itemsize))
+    TB = min(block_rows, B)
+    while B % TB:
+        TB -= 1
+    grid = (B // TB,)
+    chunk_spec = pl.BlockSpec((TB, L, C, D),
+                              lambda i, s, C=C: (i, 0, s[0] // C, 0))
+    scale_spec = pl.BlockSpec((TB, L, 1, E), lambda i, s: (i, 0, 0, 0))
+    new_spec = pl.BlockSpec((TB, L, 1, D), lambda i, s: (i, 0, 0, 0))
+    k2, v2, ks2, vs2 = pl.pallas_call(
+        _chunk_write_q_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[chunk_spec, chunk_spec, scale_spec, scale_spec,
+                      new_spec, new_spec],
+            out_specs=[chunk_spec, chunk_spec, scale_spec, scale_spec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype),
+                   jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+                   jax.ShapeDtypeStruct(vs.shape, vs.dtype)],
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
+        interpret=interpret,
+    )(step.reshape(1).astype(jnp.int32), k, v, ks, vs,
+      new_k[:, :, None, :], new_v[:, :, None, :])
+    return {"k": k2, "v": v2, "ks": ks2, "vs": vs2}
+
+
 def _write_slot_kernel(step_ref, kp_in, vp_in, k_in, v_in, k_out, v_out,
                        sems):
     # kp/vp: [B, L, 2, D] — the updated 2-slot pair window starting at the

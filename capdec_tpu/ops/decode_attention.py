@@ -184,6 +184,140 @@ def _kernel_rm(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref,
     out_ref[:, 0, :] = out.astype(out_ref.dtype)
 
 
+def _kernel_rm_q(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref,
+                 gv_ref, gks_ref, gvs_ref, g_ref, out_ref, *,
+                 beams_per_image: int, head_dim: int, scale: float):
+    """int8-KV variant of _kernel_rm: the generated cache streams as int8
+    with per-(row, layer, slot) absmax scales (written by
+    ops.cache_reorder.write_gen_slot_chunk_q). The scales factor out of
+    the per-head reductions: scores scale row-wise after the G-matmul and
+    V-scales fold into the probabilities before the spread."""
+    TB, _, D = q_ref.shape
+    _, TI, K, _ = pk_ref.shape
+    E = gk_ref.shape[2]  # gk_ref: [TB, 1, E, D] int8
+    R = beams_per_image
+    step = scal_ref[0]
+
+    g = g_ref[:]
+    q = q_ref[:, 0, :]
+    k_new = kn_ref[:, 0, :]
+    v_new = vn_ref[:, 0, :]
+
+    def heads(x2d):
+        return jax.lax.dot_general(
+            x2d.astype(jnp.bfloat16), g,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    sc = heads(q * k_new) * scale
+
+    gk = gk_ref[:, 0, :, :].astype(jnp.bfloat16)    # dequant levels [TB,E,D]
+    gv = gv_ref[:, 0, :, :].astype(jnp.bfloat16)
+    ks = gks_ref[:, 0, 0, :]                        # [TB, E] f32
+    vs = gvs_ref[:, 0, 0, :]
+    prod_g = gk * q[:, None, :].astype(jnp.bfloat16)
+    sg = heads(prod_g.reshape(TB * E, D)).reshape(TB, E, 128)
+    sg = sg * (ks * scale)[:, :, None]              # per-slot dequant
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, E, 1), 1)
+    sg = jnp.where(slot_ids < step, sg, NEG_INF)
+
+    pk_rep = jnp.repeat(pk_ref[0], R, axis=0)
+    pv_rep = jnp.repeat(pv_ref[0], R, axis=0)
+    prod_p = pk_rep.astype(jnp.bfloat16) * q[:, None, :].astype(jnp.bfloat16)
+    sp = heads(prod_p.reshape(TB * K, D)).reshape(TB, K, 128) * scale
+
+    scores = jnp.concatenate([sp, sg, sc[:, None, :]], axis=1)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    e = jnp.exp(scores - m)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    probs = e / denom
+    # fold the V dequant scales into the gen probabilities (spread is
+    # linear), so the value pass below stays identical to the fp kernel.
+    # Built as one concatenated multiplier: .at[].multiply would lower to
+    # an unsupported scatter-mul on TPU.
+    ones_k = jnp.ones((TB, K), jnp.float32)
+    ones_c = jnp.ones((TB, 1), jnp.float32)
+    mult = jnp.concatenate([ones_k, vs, ones_c], axis=1)  # [TB, S]
+    probs = probs * mult[:, :, None]
+
+    def spread(p):
+        return jax.lax.dot_general(
+            p.astype(jnp.bfloat16), g,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    S_total = K + E + 1
+    p_all = spread(probs.reshape(TB * S_total, 128)).reshape(TB, S_total, D)
+    out = jnp.sum(p_all[:, :K, :] * pv_rep.astype(jnp.bfloat16),
+                  axis=1, dtype=jnp.float32)
+    gen_prod = jnp.where(slot_ids < step, p_all[:, K:K + E, :] * gv,
+                         jnp.bfloat16(0.0))
+    out = out + jnp.sum(gen_prod, axis=1, dtype=jnp.float32)
+    out = out + p_all[:, K + E, :].astype(jnp.float32) * v_new.astype(jnp.float32)
+    out_ref[:, 0, :] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("beams_per_image", "head_dim",
+                                    "block_beams", "interpret"))
+def beam_decode_attention_rowmajor_q(
+        q: jnp.ndarray, k_new: jnp.ndarray, v_new: jnp.ndarray,
+        pk: jnp.ndarray, pv: jnp.ndarray, gk: jnp.ndarray, gv: jnp.ndarray,
+        gks: jnp.ndarray, gvs: jnp.ndarray,
+        step: jnp.ndarray, layer: jnp.ndarray, *, beams_per_image: int,
+        head_dim: int, block_beams: int = 20,
+        interpret: bool = False) -> jnp.ndarray:
+    """`beam_decode_attention_rowmajor` over an int8 generated cache.
+
+    gk/gv: int8 [B, L, E, D]; gks/gvs: f32 [B, L, 1, E] per-slot absmax
+    scales (value = level * scale). Streaming the generated cache at
+    half the bytes buys ~25% beam-decode throughput; results are NOT
+    bitwise comparable to the bf16 path (8-bit K/V quantization)."""
+    B, D = q.shape
+    L, N, K, _ = pk.shape
+    E = gk.shape[2]
+    R = beams_per_image
+    if B % R:
+        raise ValueError(f"batch {B} is not a multiple of beams_per_image {R}")
+    TB = R * max(1, min(block_beams, B) // R)
+    while B % TB:
+        TB -= R
+    TI = TB // R
+    grid = (B // TB,)
+    g = _head_matrix(D, head_dim)
+    scale = 1.0 / (head_dim ** 0.5)
+
+    kernel = functools.partial(_kernel_rm_q, beams_per_image=R,
+                               head_dim=head_dim, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TB, 1, D), lambda i, s: (i, 0, 0)),
+                pl.BlockSpec((TB, 1, D), lambda i, s: (i, 0, 0)),
+                pl.BlockSpec((TB, 1, D), lambda i, s: (i, 0, 0)),
+                pl.BlockSpec((1, TI, K, D), lambda i, s: (s[1], i, 0, 0)),
+                pl.BlockSpec((1, TI, K, D), lambda i, s: (s[1], i, 0, 0)),
+                pl.BlockSpec((TB, 1, E, D), lambda i, s: (i, s[1], 0, 0)),
+                pl.BlockSpec((TB, 1, E, D), lambda i, s: (i, s[1], 0, 0)),
+                pl.BlockSpec((TB, 1, 1, E), lambda i, s: (i, s[1], 0, 0)),
+                pl.BlockSpec((TB, 1, 1, E), lambda i, s: (i, s[1], 0, 0)),
+                pl.BlockSpec((D, 128), lambda i, s: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((TB, 1, D), lambda i, s: (i, 0, 0)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B, 1, D), jnp.float32)],
+        interpret=interpret,
+    )(jnp.stack([step.astype(jnp.int32), layer.astype(jnp.int32)]),
+      q[:, None, :], k_new[:, None, :], v_new[:, None, :], pk, pv, gk, gv,
+      gks, gvs, g)
+    return out[0][:, 0, :]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("beams_per_image", "head_dim",
                                     "block_beams", "interpret"))

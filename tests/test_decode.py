@@ -375,3 +375,28 @@ def test_beam_fused_attention_matches_xla_path(models, chunk_write,
     np.testing.assert_array_equal(r1[1], r2[1])  # lengths
     np.testing.assert_allclose(r1[2], r2[2], atol=1e-4)  # scores
     np.testing.assert_array_equal(r1[3], r2[3])  # order
+
+
+def test_beam_int8_kv_cache_agrees_with_fp_path(models):
+    """Opt-in int8 KV cache (production serving knob): decodes valid
+    captions whose tokens overwhelmingly agree with the bf16 path on the
+    tiny model — 8-bit K/V quantization is the only difference. Exercises
+    the quantized fused attention, quantizing chunk write, scale fork
+    fix-up (via the non-pallas take path on CPU) and stage growth."""
+    tm, params, cfg = models
+    K, E, R = 6, 24, 4
+    prefixes = _random_prefixes(3, K, SMALL["n_embd"], seed=31)
+    base = dict(beam_size=R, entry_length=E, stop_token=13,
+                pallas_reorder=False)
+    bc_fp = BeamConfig(fused_attention=True, fused_interpret=True,
+                       chunk_slot_write=False, **base)
+    bc_q = BeamConfig(fused_attention=True, fused_interpret=True,
+                      kv_cache_int8=True, **base)
+    t_fp, l_fp, s_fp, o_fp = jax.tree.map(
+        np.asarray, beam_search(params, cfg, jnp.asarray(prefixes), bc_fp))
+    t_q, l_q, s_q, o_q = jax.tree.map(
+        np.asarray, beam_search(params, cfg, jnp.asarray(prefixes), bc_q))
+    assert t_q.shape == t_fp.shape
+    assert np.isfinite(s_q).all()
+    agree = (t_q == t_fp).mean()
+    assert agree >= 0.8, f"token agreement {agree:.2%}"

@@ -179,3 +179,75 @@ def test_decode_step_fused_matches_xla_path():
         np.testing.assert_allclose(np.asarray(cache_f[kk]),
                                    np.asarray(cache_ref[kk]),
                                    atol=2e-2, rtol=2e-2)
+
+
+def _quantize(x):
+    """Per-(row[, layer]) absmax int8 quantization over the last axis."""
+    amax = np.abs(x).max(axis=-1, keepdims=True)
+    s = np.where(amax > 0, amax / 127.0, 1.0)
+    q = np.clip(np.round(x / s), -127, 127).astype(np.int8)
+    return q, s[..., 0].astype(np.float32)
+
+
+@pytest.mark.parametrize("step,layer", [(0, 0), (3, 1), (7, 2)])
+def test_rowmajor_q_kernel_matches_dequant_oracle(step, layer):
+    """int8 fused attention == the fp oracle evaluated on the DEQUANTIZED
+    cache (level * scale): the quantization is the only approximation."""
+    from capdec_tpu.ops.decode_attention import (
+        beam_decode_attention_rowmajor_q)
+    rng = np.random.RandomState(20 + step)
+    N, R, K, E, D, hd, L = 2, 5, 6, 8, 256, 64, 3
+    B = N * R
+    mk = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
+    q, k_new, v_new = mk(B, D), mk(B, D), mk(B, D)
+    pk, pv = mk(L, N, K, D), mk(L, N, K, D)
+    gk, gv = mk(B, L, E, D), mk(B, L, E, D)
+    qk, sk = _quantize(gk)   # [B, L, E, D] int8, [B, L, E] f32
+    qv, sv = _quantize(gv)
+
+    out = beam_decode_attention_rowmajor_q(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(pk), jnp.asarray(pv), jnp.asarray(qk), jnp.asarray(qv),
+        jnp.asarray(sk[:, :, None, :]), jnp.asarray(sv[:, :, None, :]),
+        jnp.asarray(step, jnp.int32), jnp.asarray(layer, jnp.int32),
+        beams_per_image=R, head_dim=hd, block_beams=R, interpret=True)
+
+    deq_k = qk[:, layer].astype(np.float32) * sk[:, layer, :, None]
+    deq_v = qv[:, layer].astype(np.float32) * sv[:, layer, :, None]
+    ref = oracle(q, k_new, v_new, pk[layer], pv[layer], deq_k, deq_v,
+                 step, R, hd)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-2, rtol=5e-2)
+
+
+def test_write_gen_slot_chunk_q_matches_reference():
+    """Quantizing chunk write == python absmax-int8 reference, in place,
+    across chunk boundaries; untouched slots and scales preserved."""
+    from capdec_tpu.ops.cache_reorder import write_gen_slot_chunk_q
+    rng = np.random.RandomState(5)
+    B, L, E, D = 10, 3, 24, 256
+    k = rng.randint(-127, 128, (B, L, E, D)).astype(np.int8)
+    v = rng.randint(-127, 128, (B, L, E, D)).astype(np.int8)
+    ks = rng.rand(B, L, 1, E).astype(np.float32)
+    vs = rng.rand(B, L, 1, E).astype(np.float32)
+    nk = rng.randn(B, L, D).astype(np.float32) * 0.3
+    nv = rng.randn(B, L, D).astype(np.float32) * 0.3
+    for step in (0, 7, 8, 23):
+        out = write_gen_slot_chunk_q(
+            jnp.asarray(k), jnp.asarray(v), jnp.asarray(ks),
+            jnp.asarray(vs), jnp.asarray(nk), jnp.asarray(nv),
+            jnp.asarray(step, jnp.int32), block_rows=4, interpret=True)
+        qk, sk = _quantize(nk)
+        qv, sv = _quantize(nv)
+        ref_k, ref_ks = k.copy(), ks.copy()
+        ref_v, ref_vs = v.copy(), vs.copy()
+        ref_k[:, :, step] = qk
+        ref_v[:, :, step] = qv
+        ref_ks[:, :, 0, step] = sk
+        ref_vs[:, :, 0, step] = sv
+        np.testing.assert_array_equal(np.asarray(out["k"]), ref_k,
+                                      f"step={step}")
+        np.testing.assert_array_equal(np.asarray(out["v"]), ref_v)
+        np.testing.assert_allclose(np.asarray(out["ks"]), ref_ks,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["vs"]), ref_vs,
+                                   rtol=1e-6)
