@@ -3,6 +3,13 @@
 Enables the persistent compilation cache (first GPT-2-sized compile on the
 TPU backend is slow; subsequent runs hit the cache) and optional debug
 toggles (NaN checks as the sanitizer story — SURVEY.md §5).
+
+KNOWN QUIRK: XLA:CPU executables that contain collectives (multi-device
+CPU meshes) can DEADLOCK their collective rendezvous when reloaded from
+the persistent cache — fresh compiles always work (reproduced on entries
+the same machine wrote). When running a virtual-device CPU mesh, point
+CAPDEC_JAX_CACHE at a throwaway directory (see __graft_entry__'s dryrun
+child) or skip setup_jax. TPU executables are unaffected.
 """
 from __future__ import annotations
 
