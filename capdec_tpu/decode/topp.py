@@ -51,6 +51,13 @@ class ToppConfig:
     # oracle-tested variant. (The beam engine's row-major variant of the
     # same kernel wins big: 181 -> 219 caps/s.)
     chunk_slot_write: Optional[bool] = None
+    # Staged cache growth (same idea as BeamConfig.cache_stages): run the
+    # decode as consecutive while-loops over caches of growing slot
+    # capacity, so early steps' attention reads stream a small cache
+    # instead of the full entry_length allocation. Greedy streams the
+    # whole cache every step (no slot bounding), so this directly cuts
+    # the dominant cost. 1 disables. Results identical.
+    cache_stages: int = 8
 
 
 def nucleus_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
@@ -98,19 +105,27 @@ def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
     lengths = jnp.ones((N,), jnp.int32)
     fused = bool(tc.fused_attention)
     chunk_write = bool(tc.chunk_slot_write) and not fused
-    if fused:
-        # slot dim padded to the (8, 128) memref tiling, masked in attention
-        gen_cache = gpt2.init_gen_cache_rowmajor(cfg, N, -(-E // 8) * 8)
+    # Slot dim padded to the (8, 128) memref tiling; slots >= step are
+    # masked in attention, so padding is free correctness-wise.
+    E_pad = -(-E // 8) * 8
+    init_cache = (gpt2.init_gen_cache_rowmajor if fused
+                  else gpt2.init_gen_cache)
+    if tc.cache_stages > 1:
+        S = tc.cache_stages
+        buckets = sorted({min(E_pad, -(-(E_pad * k) // (S * 8)) * 8)
+                          for k in range(1, S + 1)})
     else:
-        # chunk write streams aligned 8-slot chunks -> pad E likewise
-        # (slots >= step are masked in attention, padding is free)
-        E_pad = -(-E // 8) * 8 if chunk_write else E
-        gen_cache = gpt2.init_gen_cache(cfg, N, E_pad)
+        buckets = [E_pad]
+    gen_cache = init_cache(cfg, N, buckets[0])
     cur = gpt2.embed_tokens(params, tok0)
 
-    def cond(c):
-        i, _, stopped, _, _, _, _ = c
-        return jnp.logical_and(i < E, jnp.logical_not(jnp.all(stopped)))
+    def make_cond(stage_cap):
+        def cond(c):
+            i, _, stopped, _, _, _, _ = c
+            in_range = jnp.logical_and(i < E, i <= stage_cap)
+            return jnp.logical_and(in_range,
+                                   jnp.logical_not(jnp.all(stopped)))
+        return cond
 
     def body(c):
         i, tokens, stopped, lengths, cur, gen_cache, key = c
@@ -134,7 +149,21 @@ def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
 
     carry = (jnp.asarray(1, jnp.int32), tokens, stopped, lengths, cur,
              gen_cache, key)
-    _, tokens, stopped, lengths, _, _, _ = lax.while_loop(cond, body, carry)
+    for si, bucket in enumerate(buckets):
+        carry = lax.while_loop(make_cond(bucket), body, carry)
+        if si + 1 < len(buckets):
+            (i, tokens, stopped, lengths, cur, gc, key) = carry
+            bigger = init_cache(cfg, N, buckets[si + 1])
+            gc = lax.cond(
+                jnp.all(stopped),
+                lambda old: bigger,
+                lambda old: jax.tree.map(
+                    lambda big, o: lax.dynamic_update_slice(
+                        big, o.astype(big.dtype), (0, 0, 0, 0)),
+                    bigger, old),
+                gc)
+            carry = (i, tokens, stopped, lengths, cur, gc, key)
+    _, tokens, stopped, lengths, _, _, _ = carry
     return tokens, lengths
 
 

@@ -16,6 +16,7 @@ def main():
     N = int(opts.get("N", 256))
     fused = bool(int(opts.get("fused", 0)))
     chunk = opts.get("chunk")  # unset = auto
+    stages = int(opts.get("stages", 8))
     iters = int(opts.get("iters", 5))
 
     from capdec_tpu.utils.jax_setup import setup_jax
@@ -39,7 +40,7 @@ def main():
     jax.block_until_ready(prefix_embeds)
 
     tc = ToppConfig(entry_length=67, stop_token=-1, extra_stop_token=-1,
-                    fused_attention=fused,
+                    fused_attention=fused, cache_stages=stages,
                     chunk_slot_write=None if chunk is None
                     else bool(int(chunk)))
 
@@ -57,6 +58,7 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     print(json.dumps({
         "N": N, "fused": fused, "chunk": tc.chunk_slot_write,
+        "stages": stages,
         "caps_per_s": round(N / dt, 1),
         "ms_per_step": round(dt / 67 * 1000, 2),
         "compile_s": round(compile_s, 1),
