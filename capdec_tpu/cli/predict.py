@@ -184,6 +184,9 @@ def main(argv=None):
     from ..decode import BeamConfig
     bc = BeamConfig()
     if args.int8_kv:
+        # beam only: the greedy/top-p int8 variant measured SLOWER than
+        # its exact path (1429 vs 1470 captions/s at batch 1024), so the
+        # flag leaves greedy exact (see ToppConfig.kv_cache_int8).
         bc = _dc.replace(bc, kv_cache_int8=True, fused_attention=True)
     pcfg = pred_lib.PredictConfig(
         beam=args.beam, batch_size=args.batch_size,

@@ -58,6 +58,15 @@ class ToppConfig:
     # whole cache every step (no slot bounding), so this directly cuts
     # the dominant cost. 1 disables. Results identical.
     cache_stages: int = 8
+    # int8 KV cache (mirrors BeamConfig.kv_cache_int8): generated K/V as
+    # int8 levels + per-slot absmax scales, dequantized inside the XLA
+    # attention math. Measured SLOWER than the exact path for greedy
+    # (1429 vs 1470 captions/s, batch 1024, staged): the dequant
+    # multiplies and quantizing write cost more than the streaming saves
+    # on this less-bandwidth-bound path. Kept as an oracle-tested
+    # variant; default False. (Beam's Pallas variant wins: 232 -> 256.)
+    # XLA path only (not combinable with fused_attention/chunk write).
+    kv_cache_int8: bool = False
 
 
 def nucleus_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
@@ -105,11 +114,18 @@ def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
     lengths = jnp.ones((N,), jnp.int32)
     fused = bool(tc.fused_attention)
     chunk_write = bool(tc.chunk_slot_write) and not fused
+    if tc.kv_cache_int8 and (fused or chunk_write):
+        raise ValueError("kv_cache_int8 is XLA-path only (not combinable "
+                         "with fused_attention or chunk_slot_write)")
     # Slot dim padded to the (8, 128) memref tiling; slots >= step are
     # masked in attention, so padding is free correctness-wise.
     E_pad = -(-E // 8) * 8
-    init_cache = (gpt2.init_gen_cache_rowmajor if fused
-                  else gpt2.init_gen_cache)
+    if fused:
+        init_cache = gpt2.init_gen_cache_rowmajor
+    elif tc.kv_cache_int8:
+        init_cache = gpt2.init_gen_cache_int8
+    else:
+        init_cache = gpt2.init_gen_cache
     if tc.cache_stages > 1:
         S = tc.cache_stages
         buckets = sorted({min(E_pad, -(-(E_pad * k) // (S * 8)) * 8)

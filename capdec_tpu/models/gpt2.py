@@ -398,6 +398,17 @@ def init_gen_cache_rowmajor_int8(cfg: GPT2Config, batch: int,
             "vs": jnp.zeros(sshape, jnp.float32)}
 
 
+def init_gen_cache_int8(cfg: GPT2Config, batch: int, max_new: int) -> Params:
+    """Seq-major int8 gen cache (greedy/top-p): levels [L, B, E, D] int8
+    plus per-slot absmax scales [L, B, 1, E] f32."""
+    shape = (cfg.n_layer, batch, max_new, cfg.n_embd)
+    sshape = (cfg.n_layer, batch, 1, max_new)
+    return {"k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "ks": jnp.zeros(sshape, jnp.float32),
+            "vs": jnp.zeros(sshape, jnp.float32)}
+
+
 def repeat_prefix_cache(prefix_cache: Params, repeats: int) -> Params:
     """Tile a [L, N, ...] prefix cache to [L, N*R, ...] (unified-cache path)."""
     return jax.tree.map(
@@ -469,7 +480,8 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
         """Inverse of `heads` for probabilities: [..., H] -> [..., D]."""
         return jnp.repeat(p, hd, axis=-1)
 
-    def body_core(x, layer, pk, pv, gk, gv, attn_fn=None):
+    def body_core(x, layer, pk, pv, gk, gv, attn_fn=None, gks=None,
+                  gvs=None):
         h = _layer_norm(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"],
                         cfg.layer_norm_epsilon)
         qkv = jnp.dot(h[:, 0].astype(cdt), layer["attn"]["c_attn_w"].astype(cdt),
@@ -515,6 +527,10 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
             sg_all = heads((q_img[:, :, None, :, :] *
                             gk_img[:, None, :, :, :]).astype(jnp.float32))
             sg = jnp.sum(sg_all * anc_oh[..., None], axis=2).reshape(B, E, H)
+        if gks is not None:
+            # int8 cache: per-slot K dequant scale factors out of the
+            # head reduction (f32, applied before masking)
+            sg = sg * gks[:, :, None]
         sg = jnp.where(gen_valid[None, :, None], sg * scale, NEG_INF)
         # current token attends to itself [B, 1, H].
         sc = heads((q * k_new).astype(jnp.float32))[:, None, :]
@@ -522,6 +538,13 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
             [sp.reshape(B, K, H) * scale, sg, sc * scale],
             axis=1)                                     # [B, K+E+1, H]
         probs = jax.nn.softmax(scores, axis=1)
+        if gvs is not None:
+            # fold the V dequant scales into the probabilities (the value
+            # reduction is linear), in f32 before the compute-dtype cast
+            mult = jnp.concatenate(
+                [jnp.ones((B, K), jnp.float32), gvs,
+                 jnp.ones((B, 1), jnp.float32)], axis=1)
+            probs = probs * mult[:, :, None]
         p_p = spread(probs[:, :K, :].astype(cdt))        # [B, K, D]
         p_g = spread(probs[:, K:K + E, :].astype(cdt))   # [B, E, D]
         p_c = spread(probs[:, K + E, :].astype(cdt))     # [B, D]
@@ -645,6 +668,41 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                         cache.dtype), (0, 0, step, 0))
 
             new_k, new_v = upd(genk, ks), upd(genv, vs)
+    elif "ks" in gen_cache:
+        # Seq-major int8 cache [L, B, E, D] + scales [L, B, 1, E]
+        # (greedy/top-p serving knob): dequant rides the XLA attention
+        # math in body_core; the slot write quantizes in XLA.
+        def body_q8(x, inputs):
+            layer, pk, pv, gk, gv, sk, sv = inputs
+            return body_core(x, layer, pk, pv, gk, gv,
+                             gks=sk[:, 0, :], gvs=sv[:, 0, :])
+
+        x, (ks, vs) = lax.scan(
+            body_q8, x, (params["blocks"], prefix_cache["k"],
+                         prefix_cache["v"], gen_cache["k"],
+                         gen_cache["v"], gen_cache["ks"],
+                         gen_cache["vs"]))
+
+        def quant(slim):  # [L, B, D] -> int8 levels + f32 scales
+            x32 = slim.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+            s = jnp.where(amax > 0, amax / 127.0, 1.0)
+            q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+            return q, s
+
+        qk, sk_new = quant(ks)
+        qv, sv_new = quant(vs)
+        new_k = lax.dynamic_update_slice(
+            gen_cache["k"], qk[:, :, None, :], (0, 0, step, 0))
+        new_v = lax.dynamic_update_slice(
+            gen_cache["v"], qv[:, :, None, :], (0, 0, step, 0))
+        new_ks = lax.dynamic_update_slice(
+            gen_cache["ks"], sk_new[:, :, None, :], (0, 0, 0, step))
+        new_vs = lax.dynamic_update_slice(
+            gen_cache["vs"], sv_new[:, :, None, :], (0, 0, 0, step))
+        logits = _final_logits(params, cfg, x)[:, 0]
+        return logits, {"k": new_k, "v": new_v,
+                        "ks": new_ks, "vs": new_vs}
     else:
         def body(x, inputs):
             layer, pk, pv, gk, gv = inputs

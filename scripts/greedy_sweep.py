@@ -17,6 +17,7 @@ def main():
     fused = bool(int(opts.get("fused", 0)))
     chunk = opts.get("chunk")  # unset = auto
     stages = int(opts.get("stages", 8))
+    int8 = bool(int(opts.get("int8", 0)))
     iters = int(opts.get("iters", 5))
 
     from capdec_tpu.utils.jax_setup import setup_jax
@@ -41,6 +42,7 @@ def main():
 
     tc = ToppConfig(entry_length=67, stop_token=-1, extra_stop_token=-1,
                     fused_attention=fused, cache_stages=stages,
+                    kv_cache_int8=int8,
                     chunk_slot_write=None if chunk is None
                     else bool(int(chunk)))
 
@@ -58,7 +60,7 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     print(json.dumps({
         "N": N, "fused": fused, "chunk": tc.chunk_slot_write,
-        "stages": stages,
+        "stages": stages, "int8": int8,
         "caps_per_s": round(N / dt, 1),
         "ms_per_step": round(dt / 67 * 1000, 2),
         "compile_s": round(compile_s, 1),

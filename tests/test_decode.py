@@ -400,3 +400,33 @@ def test_beam_int8_kv_cache_agrees_with_fp_path(models):
     assert np.isfinite(s_q).all()
     agree = (t_q == t_fp).mean()
     assert agree >= 0.8, f"token agreement {agree:.2%}"
+
+
+def test_greedy_int8_kv_cache_agrees_with_fp_path(models):
+    """Opt-in int8 KV cache for greedy/top-p (XLA dequant path): valid
+    tokens, overwhelming agreement with the exact path on the tiny model;
+    crosses stage growths (entry_length 20 with default staging)."""
+    tm, params, cfg = models
+    K, E = 5, 20
+    prefixes = _random_prefixes(4, K, SMALL["n_embd"], seed=33)
+    tc_fp = ToppConfig(entry_length=E, stop_token=13, extra_stop_token=764)
+    tc_q = ToppConfig(entry_length=E, stop_token=13, extra_stop_token=764,
+                      kv_cache_int8=True)
+    t1, l1 = jax.tree.map(
+        np.asarray,
+        greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc_fp))
+    t2, l2 = jax.tree.map(
+        np.asarray,
+        greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc_q))
+    assert t2.shape == t1.shape
+    agree = (t1 == t2).mean()
+    assert agree >= 0.8, f"token agreement {agree:.2%}"
+
+
+def test_greedy_int8_rejects_incompatible_knobs(models):
+    _, params, cfg = models
+    prefixes = _random_prefixes(1, 4, SMALL["n_embd"], seed=1)
+    tc = ToppConfig(entry_length=6, kv_cache_int8=True,
+                    fused_attention=True)
+    with pytest.raises(ValueError, match="XLA-path only"):
+        greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc)
