@@ -97,7 +97,8 @@ def main():
 
     # --- greedy/top-p decode (reference generate2 path) ---------------------
     from capdec_tpu.decode.topp import ToppConfig, greedy_topp_search
-    # measured: 256 -> ~1070, 512 -> ~1207, 1024 -> ~1262 captions/s
+    # measured (staged cache growth): 256 -> ~1070, 512 -> ~1207,
+    # 1024 -> ~1470, 2048 -> ~913 (HBM pressure)
     NG = 1024
     greedy_prefix = map_fn(params, cfg,
                            jnp.asarray(rng.randn(NG, cfg.prefix_size),

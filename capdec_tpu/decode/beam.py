@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import staging
 from ..models import gpt2
 from ..ops.cache_reorder import (copy_forked_rows,  # noqa: F401
                                  reorder_cache_rows,
@@ -265,12 +266,8 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
     else:
         init_cache = (gpt2.init_gen_cache_rowmajor if bc.rowmajor_cache
                       else gpt2.init_gen_cache)
-    if use_lanes and bc.cache_stages > 1:
-        S = bc.cache_stages
-        buckets = sorted({min(E_pad, -(-(E_pad * k) // (S * align)) * align)
-                          for k in range(1, S + 1)})
-    else:
-        buckets = [E_pad]
+    buckets = staging.stage_buckets(
+        E_pad, bc.cache_stages if use_lanes else 1, align)
     gen_cache = init_cache(cfg, N * R, buckets[0])
     cur = gpt2.embed_tokens(params, toks0.reshape(N * R))  # [B, D]
     # anc[n, rq, rs, e] == 1: beam rq's slot-e K/V live in cache row rs.
@@ -447,14 +444,7 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
             (i, tokens, scores, seq_lengths, is_stopped, cur, gc, anc,
              lane_of_rank, pending_src) = carry
             bigger = init_cache(cfg, N * R, buckets[si + 1])
-            gc = lax.cond(
-                jnp.all(is_stopped),
-                lambda old: bigger,
-                lambda old: jax.tree.map(
-                    lambda big, o: lax.dynamic_update_slice(
-                        big, o.astype(big.dtype), (0, 0, 0, 0)),
-                    bigger, old),
-                gc)
+            gc = staging.grow_cache(gc, bigger, jnp.all(is_stopped))
             carry = (i, tokens, scores, seq_lengths, is_stopped, cur, gc,
                      anc, lane_of_rank, pending_src)
     (_, tokens, scores, seq_lengths, is_stopped, _, _, _,

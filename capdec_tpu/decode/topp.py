@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import staging
 from ..models import gpt2
 from ..utils.tokenizer import GPT2_DOT_TOKEN, GPT2_SPACE_DOT_TOKEN
 
@@ -126,12 +127,7 @@ def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
         init_cache = gpt2.init_gen_cache_int8
     else:
         init_cache = gpt2.init_gen_cache
-    if tc.cache_stages > 1:
-        S = tc.cache_stages
-        buckets = sorted({min(E_pad, -(-(E_pad * k) // (S * 8)) * 8)
-                          for k in range(1, S + 1)})
-    else:
-        buckets = [E_pad]
+    buckets = staging.stage_buckets(E_pad, tc.cache_stages)
     gen_cache = init_cache(cfg, N, buckets[0])
     cur = gpt2.embed_tokens(params, tok0)
 
@@ -170,14 +166,7 @@ def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
         if si + 1 < len(buckets):
             (i, tokens, stopped, lengths, cur, gc, key) = carry
             bigger = init_cache(cfg, N, buckets[si + 1])
-            gc = lax.cond(
-                jnp.all(stopped),
-                lambda old: bigger,
-                lambda old: jax.tree.map(
-                    lambda big, o: lax.dynamic_update_slice(
-                        big, o.astype(big.dtype), (0, 0, 0, 0)),
-                    bigger, old),
-                gc)
+            gc = staging.grow_cache(gc, bigger, jnp.all(stopped))
             carry = (i, tokens, stopped, lengths, cur, gc, key)
     _, tokens, stopped, lengths, _, _, _ = carry
     return tokens, lengths

@@ -534,7 +534,9 @@ def init_resnet_params(key, cfg: CLIPResNetConfig,
         planes = W * 2 ** stage
         blocks = []
         for j in range(n_blocks):
-            k = jax.random.fold_in(key, 10 + 10 * stage + j)
+            # nested fold_in: a flat `10*stage + j` scheme collides when
+            # a stage has more than 10 blocks (e.g. RN50x16's 18)
+            k = jax.random.fold_in(jax.random.fold_in(key, 10 + stage), j)
             blk = {
                 "conv1": conv(jax.random.fold_in(k, 0), 1, 1, inplanes,
                               planes),

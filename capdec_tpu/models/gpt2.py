@@ -643,9 +643,9 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
 
         if chunk_slot_write:
             # Chunked in-place slot write (Pallas): stream only the
-            # aligned 16-slot chunk containing `step` instead of XLA's
+            # aligned 8-slot chunk containing `step` instead of XLA's
             # whole-cache masked RMW (~2 ms/step at batch 640, E=80).
-            # Requires E % 16 == 0 (beam.py 16-aligns the stage buckets).
+            # Requires E % 8 == 0 (beam.py's stage buckets are 8-aligned).
             from ..ops.cache_reorder import write_gen_slot_chunk
             upd_cache = write_gen_slot_chunk(
                 genk, genv, ks.transpose(1, 0, 2), vs.transpose(1, 0, 2),
@@ -683,15 +683,9 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                          gen_cache["v"], gen_cache["ks"],
                          gen_cache["vs"]))
 
-        def quant(slim):  # [L, B, D] -> int8 levels + f32 scales
-            x32 = slim.astype(jnp.float32)
-            amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
-            s = jnp.where(amax > 0, amax / 127.0, 1.0)
-            q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
-            return q, s
-
-        qk, sk_new = quant(ks)
-        qv, sv_new = quant(vs)
+        from ..ops.cache_reorder import absmax_int8_quant
+        qk, sk_new = absmax_int8_quant(ks)   # [L, B, D] -> levels, scales
+        qv, sv_new = absmax_int8_quant(vs)
         new_k = lax.dynamic_update_slice(
             gen_cache["k"], qk[:, :, None, :], (0, 0, step, 0))
         new_v = lax.dynamic_update_slice(

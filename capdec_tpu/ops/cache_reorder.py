@@ -169,6 +169,20 @@ def copy_forked_rows(k: jnp.ndarray, v: jnp.ndarray, src: jnp.ndarray,
     return {"k": k2, "v": v2}
 
 
+def absmax_int8_quant(x: jnp.ndarray):
+    """Per-row absmax int8 quantization over the last axis.
+
+    Returns (levels int8, scales f32 with a keepdims last axis);
+    value = level * scale. THE quantization used by every int8-KV path —
+    the beam Pallas chunk write, the greedy XLA slot write and the test
+    oracles must stay in lockstep, so they all call this."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    s = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def _chunk_write_kernel(scal_ref, k_in, v_in, nk_in, nv_in, k_out, v_out):
     # Blocks are the C-slot chunk containing `step` (aligned: chunk index
     # rides the index map, so the block offset is a multiple of C). Only
@@ -182,13 +196,17 @@ def _chunk_write_kernel(scal_ref, k_in, v_in, nk_in, nv_in, k_out, v_out):
 
 
 def _write_chunk_impl(k, v, new_k4, new_v4, step, row_axis: int,
-                      block_rows: int, chunk: int, interpret: bool):
-    """Shared chunk-write pallas_call for both cache layouts.
+                      block_rows: int, chunk: int, interpret: bool,
+                      scales=None):
+    """Shared chunk-write pallas_call for both cache layouts and both
+    cache dtypes.
 
     row_axis 0: row-major [B, L, E, D]; row_axis 1: seq-major
-    [L, B, E, D]. The slot dim is always axis 2, so the kernel body is
+    [L, B, E, D]. The slot dim is always axis 2, so the kernel bodies are
     layout-agnostic; only the BlockSpecs differ. new_k4/new_v4 match the
-    cache rank with a size-1 slot dim."""
+    cache rank with a size-1 slot dim. `scales` = (ks, vs) f32
+    [B|L, L|B, 1, E] selects the int8-quantizing kernel (the new slot is
+    quantized in-kernel; scales are written alongside)."""
     C = chunk
     B = k.shape[row_axis]
     L = k.shape[1 - row_axis]
@@ -198,7 +216,8 @@ def _write_chunk_impl(k, v, new_k4, new_v4, step, row_axis: int,
                          f"divide E ({E})")
     if not block_rows:
         # 4 chunk buffers (k/v in/out) double-buffered must fit a ~10 MB
-        # VMEM budget (16 MB total on v5e).
+        # VMEM budget (16 MB total on v5e); the int8 variant's scale and
+        # new-slot blocks are small against the chunk blocks.
         budget = 10 * 2 ** 20
         block_rows = max(1, budget // (8 * L * C * D * k.dtype.itemsize))
     TB = min(block_rows, B)
@@ -207,29 +226,51 @@ def _write_chunk_impl(k, v, new_k4, new_v4, step, row_axis: int,
     grid = (B // TB,)
     if row_axis == 0:
         chunk_block, new_block = (TB, L, C, D), (TB, L, 1, D)
+        scale_block = (TB, L, 1, E)
         chunk_idx = lambda i, s, C=C: (i, 0, s[0] // C, 0)
         new_idx = lambda i, s: (i, 0, 0, 0)
     else:
         chunk_block, new_block = (L, TB, C, D), (L, TB, 1, D)
+        scale_block = (L, TB, 1, E)
         chunk_idx = lambda i, s, C=C: (0, i, s[0] // C, 0)
         new_idx = lambda i, s: (0, i, 0, 0)
     chunk_spec = pl.BlockSpec(chunk_block, chunk_idx)
     new_spec = pl.BlockSpec(new_block, new_idx)
-    k2, v2 = pl.pallas_call(
-        _chunk_write_kernel,
+    step_arr = step.reshape(1).astype(jnp.int32)
+    if scales is None:
+        k2, v2 = pl.pallas_call(
+            _chunk_write_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[chunk_spec, chunk_spec, new_spec, new_spec],
+                out_specs=[chunk_spec, chunk_spec],
+            ),
+            out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
+                       jax.ShapeDtypeStruct(v.shape, v.dtype)],
+            input_output_aliases={1: 0, 2: 1},
+            interpret=interpret,
+        )(step_arr, k, v, new_k4.astype(k.dtype), new_v4.astype(v.dtype))
+        return {"k": k2, "v": v2}
+    ks, vs = scales
+    scale_spec = pl.BlockSpec(scale_block, new_idx)
+    k2, v2, ks2, vs2 = pl.pallas_call(
+        _chunk_write_q_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[chunk_spec, chunk_spec, new_spec, new_spec],
-            out_specs=[chunk_spec, chunk_spec],
+            in_specs=[chunk_spec, chunk_spec, scale_spec, scale_spec,
+                      new_spec, new_spec],
+            out_specs=[chunk_spec, chunk_spec, scale_spec, scale_spec],
         ),
         out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
-                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
-        input_output_aliases={1: 0, 2: 1},
+                   jax.ShapeDtypeStruct(v.shape, v.dtype),
+                   jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+                   jax.ShapeDtypeStruct(vs.shape, vs.dtype)],
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
         interpret=interpret,
-    )(step.reshape(1).astype(jnp.int32), k, v,
-      new_k4.astype(k.dtype), new_v4.astype(v.dtype))
-    return {"k": k2, "v": v2}
+    )(step_arr, k, v, ks, vs, new_k4, new_v4)
+    return {"k": k2, "v": v2, "ks": ks2, "vs": vs2}
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "chunk",
@@ -274,23 +315,15 @@ def write_gen_slot_chunk_seqmajor(
 
 def _chunk_write_q_kernel(scal_ref, k_in, v_in, ks_in, vs_in, nk_in, nv_in,
                           k_out, v_out, ks_out, vs_out):
-    # int8 variant: quantize the new slot's K/V (per-row absmax over D)
-    # and insert level + scale into the aliased chunk/scale blocks.
+    # int8 variant: quantize the new slot's K/V (absmax_int8_quant) and
+    # insert level + scale into the aliased chunk/scale blocks.
     C = k_in.shape[2]
     E = ks_in.shape[3]
     step = scal_ref[0]
     wi = step % C
     sel = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C, 1), 2) == wi
-
-    def quant(new):
-        x = new[:].astype(jnp.float32)              # [TB, L, 1, D]
-        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-        s = jnp.where(amax > 0, amax / 127.0, 1.0)
-        q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
-        return q, s
-
-    qk, sk = quant(nk_in)
-    qv, sv = quant(nv_in)
+    qk, sk = absmax_int8_quant(nk_in[:])
+    qv, sv = absmax_int8_quant(nv_in[:])
     k_out[:] = jnp.where(sel, qk, k_in[:])
     v_out[:] = jnp.where(sel, qv, v_in[:])
     lane_sel = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, E), 3) == step
@@ -307,45 +340,14 @@ def write_gen_slot_chunk_q(k: jnp.ndarray, v: jnp.ndarray,
                            chunk: int = 8,
                            interpret: bool = False) -> Dict[str, jnp.ndarray]:
     """`write_gen_slot_chunk` for the int8 generated cache: quantizes the
-    new slot (per-(row, layer) absmax over D -> int8 level + f32 scale)
-    and writes level chunk + scale lane in place.
+    new slot (absmax_int8_quant -> int8 level + f32 scale) and writes
+    level chunk + scale lane in place.
 
     k/v: int8 [B, L, E, D] (donated); ks/vs: f32 [B, L, 1, E] scales
     (donated); new_k/new_v: [B, L, D] unquantized; step: int32 scalar."""
-    B, L, E, D = k.shape
-    C = chunk
-    if C % 8 or E % C:
-        raise ValueError(f"chunk ({C}) must be a multiple of 8 and "
-                         f"divide E ({E})")
-    if not block_rows:
-        budget = 10 * 2 ** 20
-        block_rows = max(1, budget // (8 * L * C * D * k.dtype.itemsize))
-    TB = min(block_rows, B)
-    while B % TB:
-        TB -= 1
-    grid = (B // TB,)
-    chunk_spec = pl.BlockSpec((TB, L, C, D),
-                              lambda i, s, C=C: (i, 0, s[0] // C, 0))
-    scale_spec = pl.BlockSpec((TB, L, 1, E), lambda i, s: (i, 0, 0, 0))
-    new_spec = pl.BlockSpec((TB, L, 1, D), lambda i, s: (i, 0, 0, 0))
-    k2, v2, ks2, vs2 = pl.pallas_call(
-        _chunk_write_q_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[chunk_spec, chunk_spec, scale_spec, scale_spec,
-                      new_spec, new_spec],
-            out_specs=[chunk_spec, chunk_spec, scale_spec, scale_spec],
-        ),
-        out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
-                   jax.ShapeDtypeStruct(v.shape, v.dtype),
-                   jax.ShapeDtypeStruct(ks.shape, ks.dtype),
-                   jax.ShapeDtypeStruct(vs.shape, vs.dtype)],
-        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
-        interpret=interpret,
-    )(step.reshape(1).astype(jnp.int32), k, v, ks, vs,
-      new_k[:, :, None, :], new_v[:, :, None, :])
-    return {"k": k2, "v": v2, "ks": ks2, "vs": vs2}
+    return _write_chunk_impl(k, v, new_k[:, :, None, :],
+                             new_v[:, :, None, :], step, 0, block_rows,
+                             chunk, interpret, scales=(ks, vs))
 
 
 def _write_slot_kernel(step_ref, kp_in, vp_in, k_in, v_in, k_out, v_out,
