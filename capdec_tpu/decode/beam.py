@@ -204,6 +204,11 @@ class BeamConfig:
     # Row-major cache only. None = auto (on on TPU).
     fused_attention: Optional[bool] = None
     fused_interpret: bool = False  # Pallas interpret mode (CPU tests)
+    # Rows per fused-attention block (rounded to a beam_size multiple).
+    # Sweep at batch 640, bucket 80: 10 -> ?, 20 (default) -> 232, 40 ->
+    # VMEM-bound at late buckets; per-block VMEM = 2*(TB*E*D*2B) for the
+    # gen cache alone.
+    fused_block_beams: int = 20
     # Chunked in-place slot write (ops.cache_reorder.write_gen_slot_chunk):
     # per step, stream only the aligned 8-slot chunk containing `step`
     # instead of XLA's dynamic-update-slice, whose masked RMW scales with
@@ -325,7 +330,8 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
             chunk_slot_write=chunk_write,
             fused_attention=bool(bc.fused_attention) and bc.rowmajor_cache
             and not bc.ancestry,
-            fused_interpret=bc.fused_interpret)
+            fused_interpret=bc.fused_interpret,
+            fused_block_beams=bc.fused_block_beams)
         if bc.temperature > 0 and bc.temperature != 1.0:
             logits = logits / bc.temperature
         logits = logits.astype(jnp.float32)

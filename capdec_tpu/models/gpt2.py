@@ -423,7 +423,8 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                 slot_write_kernel: bool = False,
                 chunk_slot_write: bool = False,
                 fused_attention: bool = False,
-                fused_interpret: bool = False
+                fused_interpret: bool = False,
+                fused_block_beams: int = 20
                 ) -> Tuple[jnp.ndarray, Params]:
     """One decode step over split caches.
 
@@ -598,6 +599,7 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                     return beam_decode_attention_rowmajor_q(
                         q, k_new, v_new, pk_all, pv_all, genk, genv,
                         gks, gvs, step, l, beams_per_image=R, head_dim=hd,
+                        block_beams=fused_block_beams,
                         interpret=fused_interpret)
 
                 return body_core(x, layer, None, None, None, None,
@@ -623,6 +625,7 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                     return beam_decode_attention_rowmajor(
                         q, k_new, v_new, pk_all, pv_all, genk, genv,
                         step, l, beams_per_image=R, head_dim=hd,
+                        block_beams=fused_block_beams,
                         interpret=fused_interpret)
 
                 return body_core(x, layer, None, None, None, None,

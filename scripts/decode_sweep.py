@@ -23,6 +23,7 @@ def main():
     iters = int(opts.get("iters", 5))
     chunk = opts.get("chunk")  # chunked slot write: 0/1, unset = auto
     int8 = bool(int(opts.get("int8", 0)))  # opt-in int8 KV cache
+    block = int(opts.get("block", 20))  # fused-attention rows per block
 
     from capdec_tpu.utils.jax_setup import setup_jax
     setup_jax()
@@ -47,7 +48,7 @@ def main():
     bc = BeamConfig(beam_size=beam, entry_length=67, stop_token=-1,
                     cache_stages=stages, lane_beams=lanes,
                     fused_attention=fused, skip_reorder_unsafe=skip,
-                    kv_cache_int8=int8,
+                    kv_cache_int8=int8, fused_block_beams=block,
                     chunk_slot_write=None if chunk is None
                     else bool(int(chunk)))
 
@@ -66,7 +67,7 @@ def main():
     print(json.dumps({
         "N": N, "stages": stages, "fused": fused, "skip": skip,
         "lanes": lanes, "beam": beam, "chunk": bc.chunk_slot_write,
-        "int8": int8,
+        "int8": int8, "block": block,
         "caps_per_s": round(N / dt, 1),
         "ms_per_step": round(dt / 67 * 1000, 2),
         "compile_s": round(compile_s, 1),

@@ -70,3 +70,10 @@ def test_modality_offset_loader(tmp_path):
                      np.ones((1, 8), np.float32) * 0.5}, f)
     off = load_modality_offset(path)
     assert off.shape == (1, 8) and off.dtype == np.float32
+
+
+def test_predict_parser_int8_kv_flag():
+    from capdec_tpu.cli.predict import build_parser
+    p = build_parser()
+    assert p.parse_args([]).int8_kv is False
+    assert p.parse_args(["--int8_kv"]).int8_kv is True
