@@ -205,9 +205,9 @@ class BeamConfig:
     fused_attention: Optional[bool] = None
     fused_interpret: bool = False  # Pallas interpret mode (CPU tests)
     # Rows per fused-attention block (rounded to a beam_size multiple).
-    # Sweep at batch 640, bucket 80: 10 -> ?, 20 (default) -> 232, 40 ->
-    # VMEM-bound at late buckets; per-block VMEM = 2*(TB*E*D*2B) for the
-    # gen cache alone.
+    # Measured at N=512, bucket 80: 10 -> 229.8, 20 (default) -> 231.8,
+    # 40 -> VMEM OOM (19 MB scoped; per-block VMEM ~= 2*(TB*E*D*2B) for
+    # the gen cache alone, double-buffered).
     fused_block_beams: int = 20
     # Chunked in-place slot write (ops.cache_reorder.write_gen_slot_chunk):
     # per step, stream only the aligned 8-slot chunk containing `step`

@@ -1,0 +1,99 @@
+"""Batch-serving layer: fixed-shape padded batching, continuous
+coalescing, and the serving CLI's pickle mode (tiny model on CPU)."""
+import json
+import pickle
+import time
+
+import numpy as np
+import pytest
+
+import jax
+
+from capdec_tpu import serve as serve_lib
+from capdec_tpu.models import caption_model, gpt2
+from capdec_tpu.utils.tokenizer import ByteTokenizer
+
+TINY = caption_model.CaptionModelConfig(
+    prefix_length=4, clip_length=4, prefix_size=16, num_layers=1,
+    mapping_type="mlp",
+    gpt2=gpt2.GPT2Config(vocab_size=128, n_positions=48, n_embd=32,
+                         n_layer=1, n_head=4))
+
+
+@pytest.fixture(scope="module")
+def server():
+    params = caption_model.init_params(jax.random.PRNGKey(0), TINY)
+    cfg = serve_lib.ServeConfig(
+        batch_size=8, max_wait_s=0.01,
+        beam_config=serve_lib.BeamConfig(beam_size=3, entry_length=6,
+                                         stop_token=-1))
+    return serve_lib.CaptionServer(params, TINY, ByteTokenizer(), cfg)
+
+
+def test_padding_never_leaks_and_results_match_full_batch(server):
+    """A ragged request set padded to the fixed batch returns exactly the
+    captions the same rows get in a full batch (padding rows dropped)."""
+    rng = np.random.RandomState(0)
+    embeds = rng.randn(8, TINY.prefix_size).astype(np.float32)
+    full = server.caption(embeds)
+    assert len(full) == 8
+    part = server.caption(embeds[:3])
+    assert part == full[:3]
+    with pytest.raises(ValueError):
+        server.caption(rng.randn(9, TINY.prefix_size).astype(np.float32))
+
+
+def test_serve_coalesces_and_answers_every_request(server):
+    rng = np.random.RandomState(1)
+    n = 19  # not a batch multiple: exercises ragged tails
+    embeds = rng.randn(n, TINY.prefix_size).astype(np.float32)
+
+    def slow_requests():
+        for i in range(n):
+            if i == 10:
+                time.sleep(0.05)  # force a timeout-launched partial batch
+            yield i, embeds[i]
+
+    got = dict(server.serve(slow_requests()))
+    assert sorted(got) == list(range(n))
+    assert all(isinstance(v, str) for v in got.values())
+    # answers must equal the synchronous path for the same embedding
+    direct = server.caption(embeds[:1])[0]
+    assert got[0] == direct
+
+
+@pytest.mark.slow
+def test_serve_cli_pickle_mode(tmp_path, capsys, monkeypatch):
+    """The serving CLI end-to-end: full GPT-2 sized checkpoint (the CLI
+    contract), short decode, JSONL output + throughput summary."""
+    from capdec_tpu.cli import serve as serve_cli
+    from capdec_tpu.utils import checkpoint as ckpt_lib
+
+    monkeypatch.setenv("CAPDEC_JAX_CACHE", str(tmp_path / "jaxcache"))
+    full = caption_model.CaptionModelConfig(
+        prefix_length=2, clip_length=2, prefix_size=16, num_layers=1,
+        mapping_type="mlp", gpt2=gpt2.GPT2Config())
+    params = caption_model.init_params(jax.random.PRNGKey(2), full)
+    ckpt = str(tmp_path / "tiny.pt")
+    ckpt_lib.save_caption_checkpoint(params, full, ckpt)
+
+    rng = np.random.RandomState(3)
+    data = {"clip_embedding": rng.randn(10, full.prefix_size
+                                        ).astype(np.float32),
+            "captions": [], "clip_embedding_text_dave": None}
+    pkl = str(tmp_path / "emb.pkl")
+    pickle.dump(data, open(pkl, "wb"))
+
+    serve_cli.main([
+        "--checkpoint", ckpt, "--embeddings_pickle", pkl,
+        "--batch_size", "4", "--no_bf16",
+        "--prefix_dim", str(full.prefix_size),
+        "--prefix_length", "2", "--prefix_length_clip", "2",
+        "--num_layers", "1", "--mapping_type", "mlp",
+        "--beam_size", "3", "--entry_length", "5"])
+    lines = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    served = [r for r in lines if "caption" in r]
+    summary = [r for r in lines if "captions_per_s" in r]
+    assert len(served) == 10
+    assert summary and summary[0]["served"] == 10
