@@ -97,3 +97,22 @@ def test_serve_cli_pickle_mode(tmp_path, capsys, monkeypatch):
     summary = [r for r in lines if "captions_per_s" in r]
     assert len(served) == 10
     assert summary and summary[0]["served"] == 10
+
+
+def test_watch_requests_picks_up_new_files(tmp_path):
+    """The watch-mode request source: yields each .npy once, tolerates
+    unreadable files (retried next poll), preserves sorted order."""
+    from capdec_tpu.cli.serve import _watch_requests
+    d = str(tmp_path)
+    np.save(f"{d}/a.npy", np.ones(4, np.float32))
+    np.save(f"{d}/b.npy", np.full(4, 2.0, np.float32))
+    open(f"{d}/broken.npy", "wb").write(b"not-an-npy")
+    gen = _watch_requests(d, poll_s=0.01)
+    first = next(gen)
+    second = next(gen)
+    paths = {p for p, _ in (first, second)}
+    assert paths == {f"{d}/a.npy", f"{d}/b.npy"}
+    np.save(f"{d}/c.npy", np.zeros(4, np.float32))
+    path3, emb3 = next(gen)
+    assert path3 == f"{d}/c.npy"
+    np.testing.assert_array_equal(emb3, np.zeros(4, np.float32))
