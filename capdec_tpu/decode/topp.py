@@ -37,9 +37,10 @@ class ToppConfig:
     # Fused Pallas decode attention over a row-major cache (the beam
     # engine's v2 kernel with beams_per_image=1 — greedy never reorders,
     # so the kernel applies directly). Measured SLOWER than the XLA path
-    # for greedy (822 vs 1047 caps/s at batch 256 on TPU v5e): with R=1
-    # there is no per-image prefix reuse inside a block and the kernel's
-    # block overhead dominates — default False; kept as an oracle-tested
+    # for greedy (822 vs 1047 caps/s at batch 256; re-measured with
+    # staged growth at batch 1024: 1004 vs 1470): with R=1 there is no
+    # per-image prefix reuse inside a block and the kernel's block
+    # overhead dominates — default False; kept as an oracle-tested
     # variant. (The beam engine, R=5, wins big with the same kernel.)
     fused_attention: Optional[bool] = None
     fused_interpret: bool = False  # Pallas interpret mode (CPU tests)
