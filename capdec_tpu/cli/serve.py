@@ -48,23 +48,49 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _watch_requests(watch_dir: str, poll_s: float = 0.2):
-    """Yield (path, embedding) for new .npy files, forever."""
+def _watch_requests(watch_dir: str, poll_s: float = 0.2,
+                    max_retries: int = 25):
+    """Yield (path, embedding) for new .npy files, forever.
+
+    A file that fails to load (usually a partial write) is retried on
+    later polls up to `max_retries` times, then marked bad and skipped
+    for good — a permanently corrupt file cannot spam stderr forever.
+    `seen` keys on (name, mtime) so a rewritten file is served again, and
+    entries whose files were deleted are pruned each poll so the set
+    cannot grow without bound in a long-lived server."""
     import numpy as np
     seen = set()
+    retries = {}
     while True:
+        names = set()
         for name in sorted(os.listdir(watch_dir)):
-            if not name.endswith('.npy') or name in seen:
+            if not name.endswith('.npy'):
                 continue
-            seen.add(name)
+            names.add(name)
             path = os.path.join(watch_dir, name)
+            try:
+                key = (name, os.stat(path).st_mtime_ns)
+            except OSError:
+                continue  # deleted between listdir and stat
+            if key in seen:
+                continue
             try:
                 emb = np.load(path).reshape(-1).astype(np.float32)
             except Exception as e:  # partial write; retry next poll
-                seen.discard(name)
-                print(f'skip {name}: {e}', file=sys.stderr, flush=True)
+                n = retries.get(name, 0) + 1
+                retries[name] = n
+                if n >= max_retries:
+                    seen.add(key)  # give up on this version of the file
+                    print(f'giving up on {name} after {n} failures: {e}',
+                          file=sys.stderr, flush=True)
+                else:
+                    print(f'skip {name}: {e}', file=sys.stderr, flush=True)
                 continue
+            seen.add(key)
+            retries.pop(name, None)
             yield path, emb
+        seen = {k for k in seen if k[0] in names}
+        retries = {n: c for n, c in retries.items() if n in names}
         time.sleep(poll_s)
 
 
@@ -120,12 +146,16 @@ def main(argv=None):
         for rid, text in server.serve(reqs):
             print(json.dumps({'id': int(rid), 'caption': text}), flush=True)
         wall = time.perf_counter() - t0
+        pct = server.latency_percentiles()
         print(json.dumps({
             'served': server.stats['requests'],
             'batches': server.stats['batches'],
             'wall_s': round(wall, 2),
             'captions_per_s': round(server.stats['requests'] / wall, 1),
             'decode_captions_per_s': round(server.throughput(), 1),
+            'latency_p50_s': round(pct['p50'], 4),
+            'latency_p95_s': round(pct['p95'], 4),
+            'latency_p99_s': round(pct['p99'], 4),
         }), flush=True)
         return
 

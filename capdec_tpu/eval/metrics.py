@@ -185,14 +185,16 @@ def rouge_l(candidates: Dict, references: Dict, beta: float = 1.2) -> float:
     scores = []
     for img_id, cands in candidates.items():
         cand = cands[0]
+        refs = references[img_id]
+        if not refs:  # no ground truth: skip, matching bleu()'s convention
+            continue
         precs, recs = [], []
-        for r in references[img_id]:
+        for r in refs:
             lcs = _lcs_len(cand, r)
             precs.append(lcs / len(cand) if cand else 0.0)
             recs.append(lcs / len(r) if r else 0.0)
-        # no references for this image: contribute 0 instead of crashing
-        prec_max = max(precs) if precs else 0.0
-        rec_max = max(recs) if recs else 0.0
+        prec_max = max(precs)
+        rec_max = max(recs)
         if prec_max != 0 and rec_max != 0:
             score = ((1 + beta ** 2) * prec_max * rec_max /
                      (rec_max + beta ** 2 * prec_max))
@@ -240,9 +242,11 @@ def cider_d(candidates: Dict, references: Dict, max_n: int = 4,
 
     scores = []
     for img_id, cands in candidates.items():
+        refs = ref_tokens[img_id]
+        if not refs:  # no ground truth: skip, matching bleu()'s convention
+            continue
         c_vec, c_norm, c_len = tfidf_vec(cands[0])
         img_score = 0.0
-        refs = ref_tokens[img_id]
         for r_toks in refs:
             r_vec, r_norm, r_len = tfidf_vec(r_toks)
             sim_total = 0.0
@@ -447,8 +451,11 @@ def meteor(candidates: Dict, references: Dict, alpha: float = 0.9,
     scores = []
     for img_id, cands in candidates.items():
         cand = cands[0]
+        refs = references[img_id]
+        if not refs:  # no ground truth: skip, matching bleu()'s convention
+            continue
         best = 0.0
-        for ref in references[img_id]:
+        for ref in refs:
             if not cand or not ref:
                 continue
             m, ch = _meteor_align(cand, ref)

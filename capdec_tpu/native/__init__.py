@@ -31,11 +31,19 @@ def build_library(name: str, sources, extra_flags=()) -> str:
     cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
            *extra_flags, *srcs, "-o", so_path + ".tmp"]
     subprocess.run(cmd, check=True, capture_output=True)
-    # evict stale hash-named builds of this library (source edits would
-    # otherwise accumulate orphaned .so files forever), then publish the
-    # new artifact atomically
+    # Evict stale hash-named builds of this library (source edits would
+    # otherwise accumulate orphaned .so files forever). The pattern is
+    # anchored to this library's exact `{name}-{12 hex}.so` shape so a
+    # library whose name is a dash-prefix of another (e.g. "fused" vs
+    # "fused-v2") never deletes the other's artifact, and the new path is
+    # excluded so a concurrent process that just resolved it via the
+    # isfile() fast path cannot lose a race against this eviction.
     import glob
+    import re
+    pat = re.compile(re.escape(name) + r"-[0-9a-f]{12}\.so$")
     for old in glob.glob(os.path.join(_NATIVE_DIR, f"{name}-*.so")):
+        if old == so_path or not pat.search(os.path.basename(old)):
+            continue
         try:
             os.unlink(old)
         except OSError:

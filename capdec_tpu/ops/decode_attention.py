@@ -257,6 +257,281 @@ def _kernel_rm_q(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref,
     out_ref[:, 0, :] = out.astype(out_ref.dtype)
 
 
+def _kernel_rm_chunked(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref,
+                       gk_ref, gv_ref, g_ref, out_ref, m_ref, l_ref, acc_ref,
+                       *, beams_per_image: int, head_dim: int, scale: float,
+                       n_chunks: int, chunk: int, int8_scales=None):
+    """v3: slot-bounded generated-cache reads via a chunk grid dimension.
+
+    Grid is (batch_blocks, n_chunks) with the chunk axis innermost. The
+    generated cache streams as (TB, 1, C, D) chunk blocks whose index map
+    clamps at the chunk containing `step` — Mosaic issues no DMA when the
+    block index repeats, so per step only ceil(step/C) chunks of the cache
+    leave HBM instead of the whole allocation. Softmax is accumulated
+    online (flash style) in VMEM scratch across chunk iterations:
+      c == 0          : prefix + current-token scores initialize (m, l, acc)
+      c*C < step      : fold the chunk's scores/values into (m, l, acc)
+      c == n_chunks-1 : normalize and write out (the out block's index is
+                        constant in c, so it is flushed once per batch block)
+    With `int8_scales` (gks_ref, gvs_ref blocks, f32 [TB, 1, 1, E]) the
+    generated chunks are int8 levels; K-scales multiply scores after the
+    head reduction and V-scales fold into the probabilities. Numerics
+    match the one-pass kernels to bf16 tolerance (different reduction
+    order — flash rescaling)."""
+    TB, _, D = q_ref.shape
+    _, TI, K, _ = pk_ref.shape
+    C = chunk
+    R = beams_per_image
+    step = scal_ref[0]
+    c = pl.program_id(1)
+
+    g = g_ref[:]                                    # [D, 128] bf16
+    q = q_ref[:, 0, :]                              # [TB, D]
+
+    def heads(x2d):  # [S, D] -> [S, 128] per-head sums via MXU
+        return jax.lax.dot_general(
+            x2d.astype(jnp.bfloat16), g,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def spread(p):  # [S', 128] -> [S', D]
+        return jax.lax.dot_general(
+            p.astype(jnp.bfloat16), g,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    @pl.when(c == 0)
+    def _init():
+        k_new = kn_ref[:, 0, :]
+        v_new = vn_ref[:, 0, :]
+        sc = heads(q * k_new) * scale               # current token [TB, 128]
+        pk_rep = jnp.repeat(pk_ref[0], R, axis=0)   # [TB, K, D]
+        pv_rep = jnp.repeat(pv_ref[0], R, axis=0)
+        prod_p = (pk_rep.astype(jnp.bfloat16)
+                  * q[:, None, :].astype(jnp.bfloat16))
+        sp = heads(prod_p.reshape(TB * K, D)).reshape(TB, K, 128) * scale
+        scores = jnp.concatenate([sp, sc[:, None, :]], axis=1)  # [TB,K+1,128]
+        m0 = jnp.max(scores, axis=1)                             # [TB, 128]
+        e = jnp.exp(scores - m0[:, None, :])
+        l0 = jnp.sum(e, axis=1)
+        p_all = spread(e.reshape(TB * (K + 1), 128)).reshape(TB, K + 1, D)
+        acc = jnp.sum(p_all[:, :K, :] * pv_rep.astype(jnp.bfloat16),
+                      axis=1, dtype=jnp.float32)
+        acc = acc + (p_all[:, K, :].astype(jnp.float32)
+                     * v_new.astype(jnp.float32))
+        m_ref[:] = m0
+        l_ref[:] = l0
+        acc_ref[:] = acc
+
+    @pl.when(c * C < step)
+    def _chunk():
+        gk = gk_ref[:, 0, :, :]                     # [TB, C, D] (or int8)
+        gv = gv_ref[:, 0, :, :]
+        prod_g = (gk.astype(jnp.bfloat16)
+                  * q[:, None, :].astype(jnp.bfloat16))
+        sg = heads(prod_g.reshape(TB * C, D)).reshape(TB, C, 128)
+        slot_ids = c * C + jax.lax.broadcasted_iota(jnp.int32, (TB, C, 1), 1)
+        if int8_scales is not None:
+            gks_ref, gvs_ref = int8_scales
+            E_s = gks_ref.shape[3]
+            # chunk-select the per-slot scales with a dynamic one-hot
+            # (E_s x C) matmul: a dynamic-start lane-dim slice would not
+            # lower, the tiny MXU contraction always does.
+            sel = (jax.lax.broadcasted_iota(jnp.int32, (E_s, C), 0) - c * C
+                   == jax.lax.broadcasted_iota(jnp.int32, (E_s, C), 1)
+                   ).astype(jnp.float32)
+            ks_c = jax.lax.dot_general(
+                gks_ref[:, 0, 0, :], sel,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [TB, C]
+            vs_c = jax.lax.dot_general(
+                gvs_ref[:, 0, 0, :], sel,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sg = sg * (ks_c * scale)[:, :, None]
+        else:
+            sg = sg * scale
+        sg = jnp.where(slot_ids < step, sg, NEG_INF)
+        m_old = m_ref[:]
+        l_old = l_ref[:]
+        m_new = jnp.maximum(m_old, jnp.max(sg, axis=1))
+        corr = jnp.exp(m_old - m_new)                        # [TB, 128]
+        e = jnp.exp(sg - m_new[:, None, :])                  # [TB, C, 128]
+        l_ref[:] = l_old * corr + jnp.sum(e, axis=1)
+        if int8_scales is not None:
+            e_v = e * vs_c[:, :, None]
+        else:
+            e_v = e
+        p = spread(e_v.reshape(TB * C, 128)).reshape(TB, C, D)
+        part = jnp.sum(
+            jnp.where(slot_ids < step, p * gv.astype(jnp.bfloat16),
+                      jnp.bfloat16(0.0)),
+            axis=1, dtype=jnp.float32)
+        corr_d = spread(corr[:, None, :].reshape(TB, 128)
+                        ).astype(jnp.float32)                # [TB, D]
+        acc_ref[:] = acc_ref[:] * corr_d + part
+        m_ref[:] = m_new
+
+    @pl.when(c == n_chunks - 1)
+    def _finalize():
+        l_d = spread(l_ref[:]).astype(jnp.float32)           # [TB, D]
+        out_ref[:, 0, :] = (acc_ref[:] / l_d).astype(out_ref.dtype)
+
+
+def _chunked_blockspecs(TB, TI, K, D, E, C):
+    """BlockSpecs shared by the fp and int8 chunked kernels. Grid is
+    (batch_blocks, n_chunks); s = (step, layer) scalars. The gen-cache
+    chunk index clamps at step's chunk so exhausted chunks re-use the
+    resident block (no DMA)."""
+    def gen_idx(i, c, s, C=C):
+        cmax = jnp.maximum((s[0] - 1) // C, 0)
+        return (i, s[1], jnp.minimum(c, cmax), 0)
+
+    const = [
+        pl.BlockSpec((TB, 1, D), lambda i, c, s: (i, 0, 0)),
+        pl.BlockSpec((TB, 1, D), lambda i, c, s: (i, 0, 0)),
+        pl.BlockSpec((TB, 1, D), lambda i, c, s: (i, 0, 0)),
+        pl.BlockSpec((1, TI, K, D), lambda i, c, s: (s[1], i, 0, 0)),
+        pl.BlockSpec((1, TI, K, D), lambda i, c, s: (s[1], i, 0, 0)),
+    ]
+    gen = [
+        pl.BlockSpec((TB, 1, C, D), gen_idx),
+        pl.BlockSpec((TB, 1, C, D), gen_idx),
+    ]
+    return const, gen
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("beams_per_image", "head_dim",
+                                    "block_beams", "chunk", "interpret"))
+def beam_decode_attention_chunked(
+        q: jnp.ndarray, k_new: jnp.ndarray, v_new: jnp.ndarray,
+        pk: jnp.ndarray, pv: jnp.ndarray, gk: jnp.ndarray, gv: jnp.ndarray,
+        step: jnp.ndarray, layer: jnp.ndarray, *, beams_per_image: int,
+        head_dim: int, block_beams: int = 20, chunk: int = 8,
+        interpret: bool = False) -> jnp.ndarray:
+    """Slot-bounded fused decode attention (v3) over row-major caches.
+
+    Same contract as `beam_decode_attention_rowmajor`, but the generated
+    cache streams in `chunk`-slot blocks bounded by `step`: per step only
+    ceil(step/chunk) chunks leave HBM instead of the full allocation, so
+    the decode engine can run a single full-size cache (no staged growth,
+    no grow copies) while early steps stay cheap. E must be a multiple of
+    `chunk` (cache allocs are 8-aligned)."""
+    B, D = q.shape
+    L, N, K, _ = pk.shape
+    E = gk.shape[2]
+    R = beams_per_image
+    if B % R:
+        raise ValueError(f"batch {B} is not a multiple of beams_per_image {R}")
+    if E % chunk:
+        raise ValueError(f"E ({E}) must be a multiple of chunk ({chunk})")
+    TB = R * max(1, min(block_beams, B) // R)
+    while B % TB:
+        TB -= R
+    TI = TB // R
+    NC = E // chunk
+    grid = (B // TB, NC)
+    g = _head_matrix(D, head_dim)
+    scale = 1.0 / (head_dim ** 0.5)
+
+    kernel = functools.partial(_kernel_rm_chunked, beams_per_image=R,
+                               head_dim=head_dim, scale=scale,
+                               n_chunks=NC, chunk=chunk)
+    const, gen = _chunked_blockspecs(TB, TI, K, D, E, chunk)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=const + gen + [
+                pl.BlockSpec((D, 128), lambda i, c, s: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((TB, 1, D), lambda i, c, s: (i, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((TB, 128), jnp.float32),
+                pltpu.VMEM((TB, 128), jnp.float32),
+                pltpu.VMEM((TB, D), jnp.float32),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B, 1, D), jnp.float32)],
+        interpret=interpret,
+    )(jnp.stack([step.astype(jnp.int32), layer.astype(jnp.int32)]),
+      q[:, None, :], k_new[:, None, :], v_new[:, None, :], pk, pv, gk, gv, g)
+    return out[0][:, 0, :]
+
+
+def _kernel_rm_chunked_q(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref,
+                         gk_ref, gv_ref, gks_ref, gvs_ref, g_ref, out_ref,
+                         m_ref, l_ref, acc_ref, **kw):
+    _kernel_rm_chunked(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref,
+                       gk_ref, gv_ref, g_ref, out_ref, m_ref, l_ref,
+                       acc_ref, int8_scales=(gks_ref, gvs_ref), **kw)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("beams_per_image", "head_dim",
+                                    "block_beams", "chunk", "interpret"))
+def beam_decode_attention_chunked_q(
+        q: jnp.ndarray, k_new: jnp.ndarray, v_new: jnp.ndarray,
+        pk: jnp.ndarray, pv: jnp.ndarray, gk: jnp.ndarray, gv: jnp.ndarray,
+        gks: jnp.ndarray, gvs: jnp.ndarray,
+        step: jnp.ndarray, layer: jnp.ndarray, *, beams_per_image: int,
+        head_dim: int, block_beams: int = 20, chunk: int = 8,
+        interpret: bool = False) -> jnp.ndarray:
+    """`beam_decode_attention_chunked` over an int8 generated cache
+    (levels gk/gv int8 [B, L, E, D]; scales gks/gvs f32 [B, L, 1, E]).
+    The full scale rows ride along per batch block (tiny, f32) and the
+    chunk's scales are selected in-kernel with a dynamic one-hot matmul."""
+    B, D = q.shape
+    L, N, K, _ = pk.shape
+    E = gk.shape[2]
+    R = beams_per_image
+    if B % R:
+        raise ValueError(f"batch {B} is not a multiple of beams_per_image {R}")
+    if E % chunk:
+        raise ValueError(f"E ({E}) must be a multiple of chunk ({chunk})")
+    TB = R * max(1, min(block_beams, B) // R)
+    while B % TB:
+        TB -= R
+    TI = TB // R
+    NC = E // chunk
+    grid = (B // TB, NC)
+    g = _head_matrix(D, head_dim)
+    scale = 1.0 / (head_dim ** 0.5)
+
+    kernel = functools.partial(_kernel_rm_chunked_q, beams_per_image=R,
+                               head_dim=head_dim, scale=scale,
+                               n_chunks=NC, chunk=chunk)
+    const, gen = _chunked_blockspecs(TB, TI, K, D, E, chunk)
+    scale_spec = pl.BlockSpec((TB, 1, 1, E), lambda i, c, s: (i, s[1], 0, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=const + gen + [scale_spec, scale_spec] + [
+                pl.BlockSpec((D, 128), lambda i, c, s: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((TB, 1, D), lambda i, c, s: (i, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((TB, 128), jnp.float32),
+                pltpu.VMEM((TB, 128), jnp.float32),
+                pltpu.VMEM((TB, D), jnp.float32),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B, 1, D), jnp.float32)],
+        interpret=interpret,
+    )(jnp.stack([step.astype(jnp.int32), layer.astype(jnp.int32)]),
+      q[:, None, :], k_new[:, None, :], v_new[:, None, :], pk, pv, gk, gv,
+      gks, gvs, g)
+    return out[0][:, 0, :]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("beams_per_image", "head_dim",
                                     "block_beams", "interpret"))

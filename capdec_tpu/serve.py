@@ -13,6 +13,10 @@ Design for TPU serving:
     never sees a second shape, so there is exactly one compilation.
   * Time/size-based coalescing: a batch launches when `batch_size`
     requests are waiting or `max_wait_s` elapsed with at least one.
+  * Bounded request queue (`max_queue`): producers block when the
+    server falls behind — backpressure instead of unbounded memory.
+  * Per-request latency (enqueue -> caption yielded) is recorded;
+    `latency_percentiles()` reports p50/p95/p99.
   * The decode engine is the production beam/greedy path (same
     BeamConfig/ToppConfig knobs, including kv_cache_int8).
 """
@@ -22,7 +26,7 @@ import dataclasses
 import queue
 import threading
 import time
-from typing import Any, Callable, Iterable, List, Optional, Tuple
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
 
@@ -37,12 +41,21 @@ class ServeConfig:
     max_wait_s: float = 0.05
     beam: bool = True
     normalize_prefix: bool = True
+    # Request-queue capacity: producers (the `requests` feeder thread and
+    # `submit()`) block once this many requests are waiting. 0 = unbounded.
+    max_queue: int = 4096
+    # Latency samples kept for the percentile report (ring buffer).
+    latency_window: int = 100_000
     beam_config: BeamConfig = dataclasses.field(default_factory=BeamConfig)
     topp_config: ToppConfig = dataclasses.field(default_factory=ToppConfig)
 
 
 def _l2norm(x, axis=-1):
     return x / np.maximum(np.linalg.norm(x, axis=axis, keepdims=True), 1e-12)
+
+
+class _Shutdown:
+    """Queue sentinel that ends serve() regardless of stop_on_exhaust."""
 
 
 class CaptionServer:
@@ -52,6 +65,8 @@ class CaptionServer:
     `serve(requests)` is the continuous-batching loop: an iterable of
     (request_id, embedding [D]) pairs -> yields (request_id, caption)
     in completion order, coalescing up to `batch_size` per launch.
+    While serve() runs, additional requests can be injected from other
+    threads with `submit(rid, embed)`; `shutdown()` ends the loop.
     """
 
     def __init__(self, params: Any,
@@ -65,6 +80,9 @@ class CaptionServer:
         self._cfg = cfg
         self._map_fn = jax.jit(caption_model.map_prefix,
                                static_argnums=(1,))
+        self._queue: "queue.Queue[Any]" = queue.Queue(
+            maxsize=max(0, cfg.max_queue))
+        self._latencies: List[float] = []
         self.stats = {"batches": 0, "requests": 0, "decode_s": 0.0}
 
     def warmup(self) -> None:
@@ -73,6 +91,7 @@ class CaptionServer:
         D = self._model_cfg.prefix_size
         self.caption(np.zeros((1, D), np.float32))
         self.stats = {"batches": 0, "requests": 0, "decode_s": 0.0}
+        self._latencies = []
 
     def caption(self, embeds: np.ndarray) -> List[str]:
         """Caption `embeds` [n, D], n <= batch_size (padded to the fixed
@@ -106,6 +125,15 @@ class CaptionServer:
         self.stats["requests"] += n
         return texts[:n]
 
+    def submit(self, rid: Any, embed: np.ndarray) -> None:
+        """Inject a request into a running serve() loop (thread-safe;
+        blocks when the queue is full — backpressure)."""
+        self._queue.put((rid, embed, time.monotonic()))
+
+    def shutdown(self) -> None:
+        """End a running serve() loop after it drains what it has."""
+        self._queue.put(_Shutdown)
+
     def serve(self, requests: Iterable[Tuple[Any, np.ndarray]],
               stop_on_exhaust: bool = True
               ) -> Iterable[Tuple[Any, str]]:
@@ -113,21 +141,23 @@ class CaptionServer:
 
         Pulls (id, embedding) pairs from `requests` on a feeder thread,
         coalesces up to batch_size (launching early after max_wait_s),
-        yields (id, caption). With stop_on_exhaust the loop drains and
-        returns when the iterable ends."""
+        yields (id, caption). With stop_on_exhaust (default) the loop
+        drains and returns when the iterable ends; with
+        stop_on_exhaust=False it keeps serving requests injected via
+        `submit()` until `shutdown()` is called."""
         cfg = self._cfg
-        q: "queue.Queue[Optional[Tuple[Any, np.ndarray]]]" = queue.Queue()
+        q = self._queue
 
         def feeder():
-            for item in requests:
-                q.put(item)
-            q.put(None)  # sentinel
+            for rid, emb in requests:
+                q.put((rid, emb, time.monotonic()))
+            q.put(None)  # exhaust sentinel
 
         t = threading.Thread(target=feeder, daemon=True)
         t.start()
         done = False
         while not done:
-            batch: List[Tuple[Any, np.ndarray]] = []
+            batch: List[Tuple[Any, np.ndarray, float]] = []
             deadline = None
             while len(batch) < cfg.batch_size:
                 timeout = (None if deadline is None
@@ -136,7 +166,12 @@ class CaptionServer:
                     item = q.get(timeout=timeout)
                 except queue.Empty:
                     break
-                if item is None:
+                if item is None:  # requests iterable exhausted
+                    if stop_on_exhaust:
+                        done = True
+                        break
+                    continue  # keep waiting for submit()/shutdown()
+                if item is _Shutdown:
                     done = True
                     break
                 batch.append(item)
@@ -144,10 +179,28 @@ class CaptionServer:
                     deadline = time.monotonic() + cfg.max_wait_s
             if not batch:
                 continue
-            ids = [i for i, _ in batch]
-            embeds = np.stack([e for _, e in batch]).astype(np.float32)
-            for rid, text in zip(ids, self.caption(embeds)):
+            ids = [i for i, _, _ in batch]
+            arrivals = [a for _, _, a in batch]
+            embeds = np.stack([e for _, e, _ in batch]).astype(np.float32)
+            texts = self.caption(embeds)
+            t_done = time.monotonic()
+            for arr in arrivals:
+                self._latencies.append(t_done - arr)
+            if len(self._latencies) > cfg.latency_window:
+                del self._latencies[:-cfg.latency_window]
+            for rid, text in zip(ids, texts):
                 yield rid, text
+
+    def latency_percentiles(self) -> Dict[str, float]:
+        """p50/p95/p99 request latency (seconds, enqueue -> yield) over
+        the latest `latency_window` served requests."""
+        if not self._latencies:
+            return {"p50": 0.0, "p95": 0.0, "p99": 0.0, "n": 0}
+        arr = np.asarray(self._latencies)
+        return {"p50": float(np.percentile(arr, 50)),
+                "p95": float(np.percentile(arr, 95)),
+                "p99": float(np.percentile(arr, 99)),
+                "n": int(arr.size)}
 
     def throughput(self) -> float:
         s = self.stats

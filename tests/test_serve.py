@@ -99,6 +99,92 @@ def test_serve_cli_pickle_mode(tmp_path, capsys, monkeypatch):
     assert summary and summary[0]["served"] == 10
 
 
+def test_serve_keeps_running_past_exhaust_and_honors_shutdown(server):
+    """With stop_on_exhaust=False the loop outlives the request iterable:
+    requests injected later via submit() are still served, and shutdown()
+    ends it (the ADVICE r2 finding: the flag used to be ignored)."""
+    import threading
+
+    rng = np.random.RandomState(4)
+    e0, e1 = (rng.randn(TINY.prefix_size).astype(np.float32)
+              for _ in range(2))
+    results = []
+
+    def run():
+        for rid, text in server.serve(iter([("early", e0)]),
+                                      stop_on_exhaust=False):
+            results.append((rid, text))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    deadline = time.monotonic() + 10
+    while len(results) < 1 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert [r for r, _ in results] == ["early"]  # iterable exhausted here
+    server.submit("late", e1)                    # loop must still be alive
+    while len(results) < 2 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert [r for r, _ in results] == ["early", "late"]
+    server.shutdown()
+    t.join(timeout=10)
+    assert not t.is_alive()
+
+
+def test_serve_latency_percentiles_under_poisson_load(server):
+    """A Poisson arrival stream: every request is answered and the serving
+    stats pin tail latency (p50 <= p95 <= p99, all positive and bounded
+    by the run's wall time)."""
+    rng = np.random.RandomState(5)
+    n = 40
+    embeds = rng.randn(n, TINY.prefix_size).astype(np.float32)
+    # ~2000 req/s Poisson arrivals against a tiny model: keeps the test
+    # fast while still exercising timeout-launched partial batches.
+    gaps = rng.exponential(scale=1 / 2000.0, size=n)
+
+    def poisson_requests():
+        for i in range(n):
+            time.sleep(gaps[i])
+            yield i, embeds[i]
+
+    t0 = time.monotonic()
+    got = dict(server.serve(poisson_requests()))
+    wall = time.monotonic() - t0
+    assert sorted(got) == list(range(n))
+    pct = server.latency_percentiles()
+    assert pct["n"] >= n
+    assert 0 < pct["p50"] <= pct["p95"] <= pct["p99"] <= wall + 1.0
+
+
+def test_serve_queue_backpressure():
+    """max_queue bounds the request queue: a producer faster than the
+    consumer blocks in submit() instead of growing memory."""
+    import threading
+
+    params = caption_model.init_params(jax.random.PRNGKey(0), TINY)
+    cfg = serve_lib.ServeConfig(
+        batch_size=2, max_wait_s=0.01, max_queue=3,
+        beam_config=serve_lib.BeamConfig(beam_size=3, entry_length=4,
+                                         stop_token=-1))
+    srv = serve_lib.CaptionServer(params, TINY, ByteTokenizer(), cfg)
+    emb = np.zeros(TINY.prefix_size, np.float32)
+    submitted = []
+
+    def producer():
+        for i in range(12):
+            srv.submit(i, emb)  # blocks when 3 are queued
+            submitted.append(i)
+        srv.shutdown()
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    time.sleep(0.2)
+    # the queue bound must have stopped the producer well short of 12
+    assert len(submitted) <= 3 + 1  # capacity + one blocked in put()
+    got = dict(srv.serve(iter([]), stop_on_exhaust=False))
+    t.join(timeout=10)
+    assert sorted(got) == list(range(12))
+
+
 def test_watch_requests_picks_up_new_files(tmp_path):
     """The watch-mode request source: yields each .npy once, tolerates
     unreadable files (retried next poll), preserves sorted order."""
@@ -116,3 +202,30 @@ def test_watch_requests_picks_up_new_files(tmp_path):
     path3, emb3 = next(gen)
     assert path3 == f"{d}/c.npy"
     np.testing.assert_array_equal(emb3, np.zeros(4, np.float32))
+
+
+def test_watch_requests_gives_up_on_permanently_bad_file(tmp_path):
+    """A corrupt .npy is retried a bounded number of times, then marked
+    seen for good; a rewritten (new-mtime) file is served again."""
+    import os
+
+    from capdec_tpu.cli.serve import _watch_requests
+    d = str(tmp_path)
+    open(f"{d}/bad.npy", "wb").write(b"never-valid")
+    gen = _watch_requests(d, poll_s=0.0, max_retries=3)
+    # Nothing valid yet: drive polls by adding a good file, which bounds
+    # how long next(gen) can block.
+    np.save(f"{d}/ok.npy", np.ones(2, np.float32))
+    assert next(gen)[0] == f"{d}/ok.npy"
+    # let several polls pass; the bad file must stop being retried
+    np.save(f"{d}/ok2.npy", np.ones(2, np.float32))
+    assert next(gen)[0] == f"{d}/ok2.npy"
+    for i in range(5):
+        np.save(f"{d}/z{i}.npy", np.ones(2, np.float32))
+        assert next(gen)[0] == f"{d}/z{i}.npy"
+    # rewrite bad.npy validly with a fresh mtime: served exactly once
+    np.save(f"{d}/bad.npy", np.full(2, 7.0, np.float32))
+    os.utime(f"{d}/bad.npy")
+    path, emb = next(gen)
+    assert path == f"{d}/bad.npy"
+    np.testing.assert_array_equal(emb, np.full(2, 7.0, np.float32))
