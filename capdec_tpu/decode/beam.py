@@ -32,6 +32,7 @@ from jax import lax
 from . import staging
 from ..models import gpt2
 from ..ops.cache_reorder import (copy_forked_rows,  # noqa: F401
+                                 copy_forked_rows_bounded,
                                  reorder_cache_rows,
                                  reorder_cache_rows_bounded,
                                  reorder_rows_leading)
@@ -215,6 +216,19 @@ class BeamConfig:
     # the whole cache (~2 ms of the 10.5 ms step at batch 640, E=80).
     # None = auto (on with fused attention).
     chunk_slot_write: Optional[bool] = None
+    # Slot-bounded fused-attention reads (kernel v3): stream the generated
+    # cache in this many slots per chunk-grid block, stopping at the chunk
+    # containing `step` — attention reads scale with the decoded length
+    # instead of the cache allocation, so the engine can run ONE full-size
+    # cache (cache_stages=1: no grow copies, no transient double
+    # allocation). 0 = the full-read v2 kernel; None = auto (8 with fused
+    # attention on TPU). Must divide the 8-aligned stage buckets.
+    fused_slot_chunks: Optional[int] = None
+    # Fork copies move only slot chunks below the current step
+    # (ops.cache_reorder.copy_forked_rows_bounded) instead of whole cache
+    # rows. None = auto (on when fused_slot_chunks is active — with a
+    # full-size cache whole-row copies would move the unwritten tail).
+    bounded_fork_copy: Optional[bool] = None
     # OPT-IN int8 KV cache: generated K/V stored as int8 levels with
     # per-(row, layer, slot) absmax scales — every cache-byte-
     # proportional cost (attention streaming, slot write, fork copies)
@@ -303,11 +317,17 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
         (i, tokens, scores, seq_lengths, is_stopped, cur, gen_cache, anc,
          lane_of_rank, pending_src) = carry
         if use_lanes and not bc.skip_reorder_unsafe:
-            # deferred fork fix-up for the PREVIOUS selection; whole rows
-            # are copied (the slot written below is overwritten anyway)
+            # deferred fork fix-up for the PREVIOUS selection; slots
+            # 0..i-2 are live history (decode_step below writes i-1)
             if bc.rowmajor_cache and bc.pallas_reorder:
-                fixed = copy_forked_rows(gen_cache["k"],
-                                         gen_cache["v"], pending_src)
+                if bc.bounded_fork_copy:
+                    fixed = copy_forked_rows_bounded(
+                        gen_cache["k"], gen_cache["v"], pending_src,
+                        i - 1, interpret=bc.fused_interpret)
+                else:
+                    fixed = copy_forked_rows(gen_cache["k"],
+                                             gen_cache["v"], pending_src,
+                                             interpret=bc.fused_interpret)
                 if bc.kv_cache_int8:
                     # scales are tiny ([B, L, 1, E] f32): one exact
                     # one-hot contraction instead of a kernel launch
@@ -331,7 +351,8 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
             fused_attention=bool(bc.fused_attention) and bc.rowmajor_cache
             and not bc.ancestry,
             fused_interpret=bc.fused_interpret,
-            fused_block_beams=bc.fused_block_beams)
+            fused_block_beams=bc.fused_block_beams,
+            fused_slot_chunks=int(bc.fused_slot_chunks or 0))
         if bc.temperature > 0 and bc.temperature != 1.0:
             logits = logits / bc.temperature
         logits = logits.astype(jnp.float32)
@@ -501,6 +522,13 @@ def beam_search(params: Any, cfg: gpt2.GPT2Config, prefix_embeds: jnp.ndarray,
     if bc.chunk_slot_write is None:
         bc = dataclasses.replace(
             bc, chunk_slot_write=bool(bc.fused_attention))
+    if bc.fused_slot_chunks is None:
+        bc = dataclasses.replace(
+            bc, fused_slot_chunks=8 if bc.fused_attention else 0)
+    if bc.bounded_fork_copy is None:
+        bc = dataclasses.replace(
+            bc, bounded_fork_copy=bool(bc.fused_slot_chunks)
+            and bool(bc.pallas_reorder) and bc.rowmajor_cache)
     return _beam_search_impl(params, cfg, bc, prefix_embeds)
 
 

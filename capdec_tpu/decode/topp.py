@@ -44,6 +44,14 @@ class ToppConfig:
     # variant. (The beam engine, R=5, wins big with the same kernel.)
     fused_attention: Optional[bool] = None
     fused_interpret: bool = False  # Pallas interpret mode (CPU tests)
+    # Slot-bounded fused-attention reads (kernel v3, chunk-grid — see
+    # BeamConfig.fused_slot_chunks): with reads bounded by the decoded
+    # length the fused path no longer streams the whole allocation each
+    # step, which is what made it lose to XLA here. 0 = full-read v2
+    # kernel; only meaningful with fused_attention.
+    fused_slot_chunks: int = 0
+    # Rows per fused-attention block (R=1 here, so this is images/block).
+    fused_block_beams: int = 20
     # Chunked in-place slot write (ops.cache_reorder
     # .write_gen_slot_chunk_seqmajor). Measured SLOWER than the plain
     # dynamic-update-slice here (753 vs 1069 captions/s at batch 256 on
@@ -115,7 +123,7 @@ def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
                              tok0 == tc.extra_stop_token)
     lengths = jnp.ones((N,), jnp.int32)
     fused = bool(tc.fused_attention)
-    chunk_write = bool(tc.chunk_slot_write) and not fused
+    chunk_write = bool(tc.chunk_slot_write)
     if tc.kv_cache_int8 and (fused or chunk_write):
         raise ValueError("kv_cache_int8 is XLA-path only (not combinable "
                          "with fused_attention or chunk_slot_write)")
@@ -142,12 +150,12 @@ def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
 
     def body(c):
         i, tokens, stopped, lengths, cur, gen_cache, key = c
-        logits, gen_cache = gpt2.decode_step(params, cfg, cur, prefix_cache,
-                                             gen_cache, i - 1,
-                                             rowmajor=fused,
-                                             chunk_slot_write=chunk_write,
-                                             fused_attention=fused,
-                                             fused_interpret=tc.fused_interpret)
+        logits, gen_cache = gpt2.decode_step(
+            params, cfg, cur, prefix_cache, gen_cache, i - 1,
+            rowmajor=fused, chunk_slot_write=chunk_write,
+            fused_attention=fused, fused_interpret=tc.fused_interpret,
+            fused_block_beams=tc.fused_block_beams,
+            fused_slot_chunks=tc.fused_slot_chunks if fused else 0)
         key, kp = jax.random.split(key)
         nxt = _pick(logits, tc, kp).astype(jnp.int32)
         alive = jnp.logical_not(stopped)
@@ -184,7 +192,11 @@ def greedy_topp_search(params: Any, cfg: gpt2.GPT2Config,
     if tc.fused_attention is None:
         tc = dataclasses.replace(tc, fused_attention=False)
     if tc.chunk_slot_write is None:
-        tc = dataclasses.replace(tc, chunk_slot_write=False)
+        # Row-major fused path: the chunked write replaces a whole-cache
+        # masked-RMW DUS (same pathology as beam). Seq-major XLA path:
+        # the plain DUS is already slim — default off (measured slower).
+        tc = dataclasses.replace(tc,
+                                 chunk_slot_write=bool(tc.fused_attention))
     return _greedy_impl(params, cfg, tc, prefix_embeds, key)
 
 

@@ -424,7 +424,8 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                 chunk_slot_write: bool = False,
                 fused_attention: bool = False,
                 fused_interpret: bool = False,
-                fused_block_beams: int = 20
+                fused_block_beams: int = 20,
+                fused_slot_chunks: int = 0
                 ) -> Tuple[jnp.ndarray, Params]:
     """One decode step over split caches.
 
@@ -587,6 +588,7 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
             # only supported paths for this cache layout.
             from ..ops.cache_reorder import write_gen_slot_chunk_q
             from ..ops.decode_attention import (
+                beam_decode_attention_chunked_q,
                 beam_decode_attention_rowmajor_q)
             pk_all = prefix_cache["k"]
             pv_all = prefix_cache["v"]
@@ -596,6 +598,13 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                 layer, l = inputs
 
                 def attn_fn(q, k_new, v_new):
+                    if fused_slot_chunks:
+                        return beam_decode_attention_chunked_q(
+                            q, k_new, v_new, pk_all, pv_all, genk, genv,
+                            gks, gvs, step, l, beams_per_image=R,
+                            head_dim=hd, block_beams=fused_block_beams,
+                            chunk=fused_slot_chunks,
+                            interpret=fused_interpret)
                     return beam_decode_attention_rowmajor_q(
                         q, k_new, v_new, pk_all, pv_all, genk, genv,
                         gks, gvs, step, l, beams_per_image=R, head_dim=hd,
@@ -614,7 +623,8 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
             return logits, upd
 
         if fused_attention:
-            from ..ops.decode_attention import beam_decode_attention_rowmajor
+            from ..ops.decode_attention import (
+                beam_decode_attention_chunked, beam_decode_attention_rowmajor)
             pk_all = prefix_cache["k"]
             pv_all = prefix_cache["v"]
 
@@ -622,6 +632,16 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                 layer, l = inputs
 
                 def attn_fn(q, k_new, v_new):
+                    if fused_slot_chunks:
+                        # v3: slot-bounded chunk-grid reads — per step only
+                        # ceil(step/chunk) chunks of the generated cache
+                        # leave HBM (ops/decode_attention.py).
+                        return beam_decode_attention_chunked(
+                            q, k_new, v_new, pk_all, pv_all, genk, genv,
+                            step, l, beams_per_image=R, head_dim=hd,
+                            block_beams=fused_block_beams,
+                            chunk=fused_slot_chunks,
+                            interpret=fused_interpret)
                     return beam_decode_attention_rowmajor(
                         q, k_new, v_new, pk_all, pv_all, genk, genv,
                         step, l, beams_per_image=R, head_dim=hd,

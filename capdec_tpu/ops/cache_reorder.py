@@ -169,6 +169,83 @@ def copy_forked_rows(k: jnp.ndarray, v: jnp.ndarray, src: jnp.ndarray,
     return {"k": k2, "v": v2}
 
 
+def _fork_bounded_kernel_factory(B: int, E: int, chunk: int, wave: int):
+    n_chunks = -(-E // chunk)
+
+    def kernel(scal_ref, k_in, v_in, k_out, v_out, sems):
+        # scalars: [0] = valid-slot count, [1:] = src row per lane.
+        # Row layout [B, L, E, D]: a chunk slice row.at[:, c*C:(c+1)*C, :]
+        # is L strided segments — one DMA descriptor each, still far
+        # cheaper than moving the row's unoccupied tail. Only rows whose
+        # source differs are copied (lane invariant: a written row is
+        # never a source, so in-place conditional copies are hazard-free).
+        count = scal_ref[0]
+        for w0 in range(0, B, wave):
+            n = min(wave, B - w0)
+            for phase in range(2):  # 0 = start, 1 = wait
+                for j in range(n):
+                    b = w0 + j
+                    s = scal_ref[1 + b]
+                    for c in range(n_chunks):
+                        size = min(chunk, E - c * chunk)
+
+                        @pl.when(jnp.logical_and(s != b,
+                                                 c * chunk < count))
+                        def _(b=b, s=s, j=j, c=c, size=size, phase=phase):
+                            for arr_i, (src_hbm, dst_hbm) in enumerate(
+                                    ((k_in, k_out), (v_in, v_out))):
+                                cp = pltpu.make_async_copy(
+                                    src_hbm.at[s, :, pl.ds(c * chunk, size), :],
+                                    dst_hbm.at[b, :, pl.ds(c * chunk, size), :],
+                                    sems.at[(2 * j + arr_i) * n_chunks + c])
+                                if phase == 0:
+                                    cp.start()
+                                else:
+                                    cp.wait()
+
+    return kernel, n_chunks
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "wave", "chunk"))
+def copy_forked_rows_bounded(k: jnp.ndarray, v: jnp.ndarray,
+                             src: jnp.ndarray, count: jnp.ndarray,
+                             chunk: int = 24, wave: int = 32,
+                             interpret: bool = False
+                             ) -> Dict[str, jnp.ndarray]:
+    """`copy_forked_rows`, moving only slot chunks below `count` (the
+    number of occupied generated slots). With a single full-size cache
+    (no staged growth) a whole-row fork copy would move the unwritten
+    tail too; here per-fork traffic is proportional to ceil(count/chunk)
+    chunks. Slots >= count in forked rows are UNINITIALIZED — decode
+    attention masks them (slot < step), matching the bounded reorder's
+    contract. k/v: [B, L, E, D] row-major caches (aliased in place)."""
+    B, L, E, D = k.shape
+    kernel, n_chunks = _fork_bounded_kernel_factory(B, E, chunk, wave)
+    n_sems = 2 * min(wave, B) * n_chunks
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((n_sems,))],
+    )
+    scalars = jnp.concatenate(
+        [count.reshape(1).astype(jnp.int32), src.astype(jnp.int32)])
+    k2, v2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(scalars, k, v)
+    return {"k": k2, "v": v2}
+
+
 def absmax_int8_quant(x: jnp.ndarray):
     """Per-row absmax int8 quantization over the last axis.
 

@@ -99,8 +99,22 @@ def train(model_cfg: caption_model.CaptionModelConfig,
     multi_step = (step_lib.make_train_multi_step(model_cfg, tx, noise_cfg)
                   if K > 1 else None)
 
+    # Per-step losses of the in-flight epoch are checkpointed alongside the
+    # train state ("loss sidecar") so a resumed epoch's loss_per_epoch
+    # entry is BIT-identical to the uninterrupted run: the epoch-end mean
+    # reduces the same f32 per-step loss vector either way.
+    sidecar_path = os.path.join(loop_cfg.out_dir, "epoch_losses_latest.npz")
+
+    def save_sidecar(epoch, pending):
+        vals = (np.concatenate([np.asarray(p) for p in pending])
+                if pending else np.zeros((0,), np.float32))
+        tmp = sidecar_path + ".tmp.npz"
+        np.savez(tmp, epoch=epoch, losses=vals.astype(np.float32))
+        os.replace(tmp, sidecar_path)
+
     loss_train, loss_val = [], []
     start_step = 0
+    resume_losses = None
     if loop_cfg.resume:
         state_path = resume_lib.latest_state_path(loop_cfg.out_dir)
         if state_path is not None:
@@ -116,6 +130,11 @@ def train(model_cfg: caption_model.CaptionModelConfig,
                     hist = json.load(f)
                 loss_train = hist.get("train", [])[:start_step // steps]
                 loss_val = hist.get("val", [])[:start_step // steps]
+            if os.path.exists(sidecar_path):
+                sc = np.load(sidecar_path)
+                if (int(sc["epoch"]) == start_step // steps
+                        and len(sc["losses"]) == start_step % steps):
+                    resume_losses = np.asarray(sc["losses"], np.float32)
             print(f">>> Resuming from {state_path} at step {start_step}",
                   flush=True)
 
@@ -134,6 +153,12 @@ def train(model_cfg: caption_model.CaptionModelConfig,
         # When resuming mid-epoch, replay the epoch's deterministic batch
         # order (seeded by seed+epoch) and skip the already-trained ones.
         skip = max(0, start_step - epoch * steps)
+        if skip and resume_losses is not None:
+            # pre-kill per-step losses from the sidecar: the epoch mean
+            # covers ALL of the epoch's batches, exactly as uninterrupted
+            pending_losses.append(jnp.asarray(resume_losses))
+            nb = skip
+            resume_losses = None
         stop_now = False
 
         def run_dispatch(batches):
@@ -178,6 +203,7 @@ def train(model_cfg: caption_model.CaptionModelConfig,
                     # mid-epoch crash no longer loses the AdamW moments and
                     # step counter (the reference deficiency, train.py:359).
                     resume_lib.save_train_state(state, loop_cfg.out_dir)
+                    save_sidecar(epoch, pending_losses)
             if loop_cfg.max_steps and global_step >= loop_cfg.max_steps:
                 stop_now = True
 
@@ -201,6 +227,7 @@ def train(model_cfg: caption_model.CaptionModelConfig,
         if stop_now:
             if loop_cfg.save_state:
                 resume_lib.save_train_state(state, loop_cfg.out_dir)
+                save_sidecar(epoch, pending_losses)
             metrics.close()
             print(f">>> Stopped at max_steps={global_step}", flush=True)
             return {"params": state["params"], "loss_per_epoch":
@@ -217,6 +244,7 @@ def train(model_cfg: caption_model.CaptionModelConfig,
                                                loop_cfg.prefix, epoch))
         if loop_cfg.save_state:
             resume_lib.save_train_state(state, loop_cfg.out_dir)
+            save_sidecar(epoch + 1, [])  # next epoch starts fresh
 
         if val_ds is not None:
             vacc, vn = 0.0, 0

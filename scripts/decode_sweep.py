@@ -24,6 +24,10 @@ def main():
     chunk = opts.get("chunk")  # chunked slot write: 0/1, unset = auto
     int8 = bool(int(opts.get("int8", 0)))  # opt-in int8 KV cache
     block = int(opts.get("block", 20))  # fused-attention rows per block
+    # v3 slot-bounded attention: chunk size (0 = v2 full-read kernel,
+    # unset = auto) and bounded fork copy (unset = auto)
+    slotchunks = opts.get("slotchunks")
+    bfc = opts.get("bfc")
 
     from capdec_tpu.utils.jax_setup import setup_jax
     setup_jax()
@@ -50,7 +54,11 @@ def main():
                     fused_attention=fused, skip_reorder_unsafe=skip,
                     kv_cache_int8=int8, fused_block_beams=block,
                     chunk_slot_write=None if chunk is None
-                    else bool(int(chunk)))
+                    else bool(int(chunk)),
+                    fused_slot_chunks=None if slotchunks is None
+                    else int(slotchunks),
+                    bounded_fork_copy=None if bfc is None
+                    else bool(int(bfc)))
 
     def run():
         toks, lens, scores, order = beam_search(params["gpt"], cfg.gpt2,
@@ -67,7 +75,8 @@ def main():
     print(json.dumps({
         "N": N, "stages": stages, "fused": fused, "skip": skip,
         "lanes": lanes, "beam": beam, "chunk": bc.chunk_slot_write,
-        "int8": int8, "block": block,
+        "int8": int8, "block": block, "slotchunks": slotchunks,
+        "bfc": bfc,
         "caps_per_s": round(N / dt, 1),
         "ms_per_step": round(dt / 67 * 1000, 2),
         "compile_s": round(compile_s, 1),

@@ -19,6 +19,8 @@ def main():
     stages = int(opts.get("stages", 8))
     int8 = bool(int(opts.get("int8", 0)))
     iters = int(opts.get("iters", 5))
+    slotchunks = int(opts.get("slotchunks", 0))  # v3 slot-bounded kernel
+    block = int(opts.get("block", 20))
 
     from capdec_tpu.utils.jax_setup import setup_jax
     setup_jax()
@@ -42,7 +44,8 @@ def main():
 
     tc = ToppConfig(entry_length=67, stop_token=-1, extra_stop_token=-1,
                     fused_attention=fused, cache_stages=stages,
-                    kv_cache_int8=int8,
+                    kv_cache_int8=int8, fused_slot_chunks=slotchunks,
+                    fused_block_beams=block,
                     chunk_slot_write=None if chunk is None
                     else bool(int(chunk)))
 
@@ -60,7 +63,8 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     print(json.dumps({
         "N": N, "fused": fused, "chunk": tc.chunk_slot_write,
-        "stages": stages, "int8": int8,
+        "stages": stages, "int8": int8, "slotchunks": slotchunks,
+        "block": block,
         "caps_per_s": round(N / dt, 1),
         "ms_per_step": round(dt / 67 * 1000, 2),
         "compile_s": round(compile_s, 1),

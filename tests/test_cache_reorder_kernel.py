@@ -103,3 +103,32 @@ def test_write_gen_slot_matches_dus():
             np.testing.assert_array_equal(np.asarray(out["k"]), ref_k,
                                           f"step={step}")
             np.testing.assert_array_equal(np.asarray(out["v"]), ref_v)
+
+
+def test_copy_forked_rows_bounded_matches_gather_on_valid_slots():
+    """Bounded fork copy: rows with src[b] != b receive row src[b]'s
+    slots < count; src[b] == b rows and tail slots are untouched (the
+    lane invariant guarantees no written row is ever a source)."""
+    from capdec_tpu.ops.cache_reorder import copy_forked_rows_bounded
+    rng = np.random.RandomState(2)
+    B, L, E, D = 10, 2, 24, 256
+    k = rng.randn(B, L, E, D).astype(np.float32)
+    v = rng.randn(B, L, E, D).astype(np.float32)
+    # lane-invariant source map: forked targets (1, 4, 9) are nobody's src
+    src = np.asarray([0, 3, 2, 3, 0, 5, 6, 7, 8, 5], np.int32)
+    for count in (1, 8, 9, 24):
+        out = copy_forked_rows_bounded(
+            jnp.asarray(k), jnp.asarray(v), jnp.asarray(src),
+            jnp.asarray(count, jnp.int32), chunk=8, wave=4, interpret=True)
+        ref_k, ref_v = k.copy(), v.copy()
+        for b in range(B):
+            if src[b] != b:
+                ref_k[b, :, :count] = k[src[b], :, :count]
+                ref_v[b, :, :count] = v[src[b], :, :count]
+        np.testing.assert_array_equal(
+            np.asarray(out["k"])[:, :, :count], ref_k[:, :, :count],
+            f"count={count}")
+        np.testing.assert_array_equal(
+            np.asarray(out["v"])[:, :, :count], ref_v[:, :, :count])
+        # unforked rows keep their tails too
+        np.testing.assert_array_equal(np.asarray(out["k"])[0], ref_k[0])

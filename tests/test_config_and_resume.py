@@ -108,9 +108,10 @@ def test_loop_kill_and_resume_matches_uninterrupted(tmp_path):
                     jax.tree.leaves(resumed["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0,
                                    rtol=0)
-    # epochs after the kill reproduce the uninterrupted loss curve; the
-    # resumed kill epoch averages only its remaining batches, so compare
-    # the fully-replayed later epochs.
-    np.testing.assert_allclose(full["loss_per_epoch"]["train"][2],
-                               resumed["loss_per_epoch"]["train"][-1],
+    # the ENTIRE loss curve reproduces bit-exactly, including the killed
+    # epoch: its pre-kill per-step losses ride the loss sidecar saved
+    # with the train state (loop.py save_sidecar), so the epoch-end mean
+    # reduces the same f32 vector as the uninterrupted run.
+    np.testing.assert_allclose(full["loss_per_epoch"]["train"],
+                               resumed["loss_per_epoch"]["train"],
                                atol=0, rtol=0)

@@ -430,3 +430,72 @@ def test_greedy_int8_rejects_incompatible_knobs(models):
                     fused_attention=True)
     with pytest.raises(ValueError, match="XLA-path only"):
         greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc)
+
+
+@pytest.mark.parametrize("stages", [1, 3])
+def test_beam_v3_slot_bounded_config_matches_xla_path(models, stages):
+    """The v3 production config — slot-bounded chunked attention reads,
+    bounded fork copies (pallas, interpret mode), chunked slot write,
+    single full-size cache (stages=1) and staged (stages=3) — emits the
+    same captions as the XLA attention path."""
+    tm, params, cfg = models
+    K, E, R = 6, 20, 4
+    prefixes = _random_prefixes(3, K, SMALL["n_embd"], seed=41)
+    bc_xla = BeamConfig(beam_size=R, entry_length=E, stop_token=13,
+                        fused_attention=False, chunk_slot_write=False,
+                        pallas_reorder=False)
+    bc_v3 = BeamConfig(beam_size=R, entry_length=E, stop_token=13,
+                       fused_attention=True, fused_interpret=True,
+                       chunk_slot_write=True, fused_slot_chunks=8,
+                       bounded_fork_copy=True, pallas_reorder=True,
+                       cache_stages=stages)
+    r1 = jax.tree.map(np.asarray,
+                      beam_search(params, cfg, jnp.asarray(prefixes), bc_xla))
+    r2 = jax.tree.map(np.asarray,
+                      beam_search(params, cfg, jnp.asarray(prefixes), bc_v3))
+    np.testing.assert_array_equal(r1[0], r2[0])  # tokens
+    np.testing.assert_array_equal(r1[1], r2[1])  # lengths
+    np.testing.assert_allclose(r1[2], r2[2], atol=1e-4)  # scores
+    np.testing.assert_array_equal(r1[3], r2[3])  # order
+
+
+def test_beam_v3_int8_agrees_with_fp_path(models):
+    """int8 KV + v3 slot-bounded kernel (chunked_q): valid captions with
+    overwhelming token agreement vs the fp path."""
+    tm, params, cfg = models
+    K, E, R = 6, 24, 4
+    prefixes = _random_prefixes(3, K, SMALL["n_embd"], seed=42)
+    base = dict(beam_size=R, entry_length=E, stop_token=13,
+                pallas_reorder=False)
+    bc_fp = BeamConfig(fused_attention=True, fused_interpret=True,
+                       chunk_slot_write=False, fused_slot_chunks=0, **base)
+    bc_q3 = BeamConfig(fused_attention=True, fused_interpret=True,
+                       kv_cache_int8=True, fused_slot_chunks=8, **base)
+    t_fp, *_ = jax.tree.map(
+        np.asarray, beam_search(params, cfg, jnp.asarray(prefixes), bc_fp))
+    t_q, l_q, s_q, o_q = jax.tree.map(
+        np.asarray, beam_search(params, cfg, jnp.asarray(prefixes), bc_q3))
+    assert np.isfinite(s_q).all()
+    agree = (t_q == t_fp).mean()
+    assert agree >= 0.8, f"token agreement {agree:.2%}"
+
+
+def test_greedy_v3_slot_bounded_matches_xla_path(models):
+    """Greedy decode through the v3 slot-bounded fused kernel (single
+    full-size cache) == the XLA path's tokens."""
+    tm, params, cfg = models
+    K, E = 5, 18
+    prefixes = _random_prefixes(4, K, SMALL["n_embd"], seed=43)
+    tc_xla = ToppConfig(entry_length=E, stop_token=13, extra_stop_token=764,
+                        fused_attention=False)
+    tc_v3 = ToppConfig(entry_length=E, stop_token=13, extra_stop_token=764,
+                       fused_attention=True, fused_interpret=True,
+                       fused_slot_chunks=8, cache_stages=1)
+    t1, l1 = jax.tree.map(
+        np.asarray,
+        greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc_xla))
+    t2, l2 = jax.tree.map(
+        np.asarray,
+        greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc_v3))
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_array_equal(t1, t2)

@@ -251,3 +251,83 @@ def test_write_gen_slot_chunk_q_matches_reference():
                                    rtol=1e-6)
         np.testing.assert_allclose(np.asarray(out["vs"]), ref_vs,
                                    rtol=1e-6)
+
+
+@pytest.mark.parametrize("step,layer", [(0, 0), (3, 1), (8, 2), (9, 0),
+                                        (15, 1), (16, 2)])
+def test_chunked_kernel_matches_oracle(step, layer):
+    """v3 slot-bounded kernel (chunk grid + online softmax) vs the numpy
+    oracle, at steps inside / at / across chunk boundaries."""
+    from capdec_tpu.ops.decode_attention import beam_decode_attention_chunked
+    rng = np.random.RandomState(30 + step)
+    N, R, K, E, D, hd, L = 2, 5, 6, 24, 256, 64, 3
+    B = N * R
+    mk = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
+    q, k_new, v_new = mk(B, D), mk(B, D), mk(B, D)
+    pk, pv = mk(L, N, K, D), mk(L, N, K, D)
+    gk, gv = mk(B, L, E, D), mk(B, L, E, D)
+    gk[:, :, step:] = 0.0
+    gv[:, :, step:] = 0.0
+
+    out = beam_decode_attention_chunked(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(pk), jnp.asarray(pv), jnp.asarray(gk), jnp.asarray(gv),
+        jnp.asarray(step, jnp.int32), jnp.asarray(layer, jnp.int32),
+        beams_per_image=R, head_dim=hd, block_beams=R, chunk=8,
+        interpret=True)
+
+    ref = oracle(q, k_new, v_new, pk[layer], pv[layer], gk[:, layer],
+                 gv[:, layer], step, R, hd)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-2, rtol=5e-2)
+
+
+def test_chunked_kernel_nan_safe():
+    """Unwritten tail slots and whole unreached chunks may hold NaN/Inf:
+    the online accumulation must never ingest them."""
+    from capdec_tpu.ops.decode_attention import beam_decode_attention_chunked
+    rng = np.random.RandomState(31)
+    N, R, K, E, D, hd, L = 2, 5, 4, 16, 128, 64, 2
+    B = N * R
+    step, layer = 3, 1
+    mk = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
+    gk, gv = mk(B, L, E, D), mk(B, L, E, D)
+    gk[:, :, step:] = np.nan
+    gv[:, :, step:] = np.inf
+    out = beam_decode_attention_chunked(
+        jnp.asarray(mk(B, D)), jnp.asarray(mk(B, D)), jnp.asarray(mk(B, D)),
+        jnp.asarray(mk(L, N, K, D)), jnp.asarray(mk(L, N, K, D)),
+        jnp.asarray(gk), jnp.asarray(gv),
+        jnp.asarray(step, jnp.int32), jnp.asarray(layer, jnp.int32),
+        beams_per_image=R, head_dim=hd, chunk=8, interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("step,layer", [(0, 0), (7, 1), (9, 2), (23, 0)])
+def test_chunked_q_kernel_matches_dequant_oracle(step, layer):
+    """int8 v3 kernel == fp oracle on the dequantized cache; the in-kernel
+    one-hot chunk-select of the scales must track the chunk index."""
+    from capdec_tpu.ops.decode_attention import (
+        beam_decode_attention_chunked_q)
+    rng = np.random.RandomState(40 + step)
+    N, R, K, E, D, hd, L = 2, 5, 6, 24, 256, 64, 3
+    B = N * R
+    mk = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
+    q, k_new, v_new = mk(B, D), mk(B, D), mk(B, D)
+    pk, pv = mk(L, N, K, D), mk(L, N, K, D)
+    gk, gv = mk(B, L, E, D), mk(B, L, E, D)
+    qk, sk = _quantize(gk)
+    qv, sv = _quantize(gv)
+
+    out = beam_decode_attention_chunked_q(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(pk), jnp.asarray(pv), jnp.asarray(qk), jnp.asarray(qv),
+        jnp.asarray(sk[:, :, None, :]), jnp.asarray(sv[:, :, None, :]),
+        jnp.asarray(step, jnp.int32), jnp.asarray(layer, jnp.int32),
+        beams_per_image=R, head_dim=hd, block_beams=R, chunk=8,
+        interpret=True)
+
+    deq_k = qk[:, layer].astype(np.float32) * sk[:, layer, :, None]
+    deq_v = qv[:, layer].astype(np.float32) * sv[:, layer, :, None]
+    ref = oracle(q, k_new, v_new, pk[layer], pv[layer], deq_k, deq_v,
+                 step, R, hd)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-2, rtol=5e-2)

@@ -126,3 +126,22 @@ def test_quality_regression_synthetic_convergence(tmp_path):
     assert scores["CIDEr"] >= 3.0, scores
     assert scores["Bleu_1"] >= 0.8, scores
     assert scores["METEOR"] >= 0.5, scores
+
+    # int8-KV quality delta (VERDICT r2 item 8): the serving knob's cost
+    # as a number, on the same converged model. Measured here: int8 CIDEr
+    # == exact CIDEr on this corpus (quantization flips no tokens after
+    # convergence); the assert leaves a 10% band so minor flips don't
+    # flake while a real regression still fails.
+    pcfg_q = pred_lib.PredictConfig(
+        beam=True, batch_size=16,
+        beam_config=BeamConfig(beam_size=3, entry_length=14,
+                               stop_token=ord("."), kv_cache_int8=True,
+                               fused_attention=True, fused_interpret=True,
+                               pallas_reorder=False))
+    preds_q = pred_lib.run_predictions(records, embed_fn, result["params"],
+                                       TINY, tok, pcfg_q)
+    scores_q = metrics.score_predictions(preds_q, gt)
+    print(f"int8-KV CIDEr delta: exact={scores['CIDEr']:.4f} "
+          f"int8={scores_q['CIDEr']:.4f} "
+          f"delta={scores['CIDEr'] - scores_q['CIDEr']:+.4f}")
+    assert scores_q["CIDEr"] >= 0.9 * scores["CIDEr"], (scores, scores_q)

@@ -68,3 +68,52 @@ def test_run_predictions_with_mesh():
         records, pred_lib.make_pickle_embed_fn(prefixes), params, cfg, tok,
         pred_lib.PredictConfig(batch_size=8, beam_config=bc, mesh=mesh))
     assert base == sharded
+
+
+def test_tp2_sharded_beam_and_greedy_match_single_device():
+    """Tensor-parallel decode correctness (VERDICT r2 item 7): GPT-2
+    params sharded Megatron-style over a dp=4 x tp=2 mesh
+    (parallel/mesh.gpt2_param_specs) reproduce the unsharded decode —
+    same prefill logits (tolerance: partitioned matmul reductions
+    reassociate) and the same beam + greedy captions on this fixture
+    (CPU math is deterministic, so agreement here is stable)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from capdec_tpu.decode import ToppConfig, greedy_topp_search
+
+    params = gpt2.init_params(jax.random.PRNGKey(1), TINY)
+    rng = np.random.RandomState(1)
+    N, K = 8, 6
+    prefixes = jnp.asarray(
+        rng.randn(N, K, TINY.n_embd).astype(np.float32) * 0.05)
+    bc = BeamConfig(beam_size=4, entry_length=8, stop_token=-1)
+    tc = ToppConfig(entry_length=8, stop_token=-1, extra_stop_token=-1)
+
+    ref_logits = np.asarray(gpt2.prefill(params, TINY, prefixes)[0])
+    ref_beam = jax.tree.map(np.asarray,
+                            beam_search(params, TINY, prefixes, bc))
+    ref_greedy = jax.tree.map(
+        np.asarray, greedy_topp_search(params, TINY, prefixes, tc))
+
+    mesh = mesh_lib.make_mesh(dp=4, tp=2)
+    specs = mesh_lib.gpt2_param_specs()
+    tp_params = mesh_lib.shard_params(params, mesh, specs)
+    # every block weight that the spec shards must actually be split
+    assert (tp_params["blocks"]["attn"]["c_attn_w"].sharding.spec
+            == P(None, None, "tp"))
+    sharded_prefix = jax.device_put(prefixes, NamedSharding(mesh, P("dp")))
+
+    got_logits = np.asarray(gpt2.prefill(tp_params, TINY, sharded_prefix)[0])
+    np.testing.assert_allclose(got_logits, ref_logits, atol=1e-4, rtol=1e-4)
+
+    got_beam = jax.tree.map(np.asarray,
+                            beam_search(tp_params, TINY, sharded_prefix, bc))
+    np.testing.assert_array_equal(got_beam[0], ref_beam[0])  # tokens
+    np.testing.assert_array_equal(got_beam[1], ref_beam[1])  # lengths
+    np.testing.assert_array_equal(got_beam[3], ref_beam[3])  # order
+
+    got_greedy = jax.tree.map(
+        np.asarray,
+        greedy_topp_search(tp_params, TINY, sharded_prefix, tc))
+    np.testing.assert_array_equal(got_greedy[0], ref_greedy[0])
+    np.testing.assert_array_equal(got_greedy[1], ref_greedy[1])
