@@ -236,6 +236,12 @@ class BeamConfig:
     # quantization); quality impact is pinned by the synthetic
     # convergence test. Requires the fused-attention row-major lane path.
     kv_cache_int8: bool = False
+    # int8 PREFIX cache (with kv_cache_int8): quantize the prefill K/V at
+    # decode start — the prefix read is the biggest fixed per-step
+    # traffic term and halves. Requires the chunked kernel
+    # (fused_slot_chunks). None = auto (on when kv_cache_int8 and
+    # fused_slot_chunks are active).
+    int8_prefix: Optional[bool] = None
     # Perf-ablation ONLY: skip the cache permutation entirely. Results are
     # WRONG; this measures the no-reorder floor of the decode step.
     skip_reorder_unsafe: bool = False
@@ -250,6 +256,8 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
     if bc.cast_params:
         params = cast_params_for_decode(params, cfg)
     logits0, prefix_cache = gpt2.prefill(params, cfg, prefix_embeds)
+    if bc.kv_cache_int8 and bc.int8_prefix:
+        prefix_cache = gpt2.quantize_prefix_cache(prefix_cache)
     if bc.temperature > 0 and bc.temperature != 1.0:
         logits0 = logits0 / bc.temperature
     logp0 = jax.nn.log_softmax(logits0.astype(jnp.float32), axis=-1)
@@ -529,6 +537,9 @@ def beam_search(params: Any, cfg: gpt2.GPT2Config, prefix_embeds: jnp.ndarray,
         bc = dataclasses.replace(
             bc, bounded_fork_copy=bool(bc.fused_slot_chunks)
             and bool(bc.pallas_reorder) and bc.rowmajor_cache)
+    if bc.int8_prefix is None:
+        bc = dataclasses.replace(
+            bc, int8_prefix=bc.kv_cache_int8 and bool(bc.fused_slot_chunks))
     return _beam_search_impl(params, cfg, bc, prefix_embeds)
 
 

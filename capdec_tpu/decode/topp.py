@@ -68,15 +68,20 @@ class ToppConfig:
     # whole cache every step (no slot bounding), so this directly cuts
     # the dominant cost. 1 disables. Results identical.
     cache_stages: int = 8
-    # int8 KV cache (mirrors BeamConfig.kv_cache_int8): generated K/V as
-    # int8 levels + per-slot absmax scales, dequantized inside the XLA
-    # attention math. Measured SLOWER than the exact path for greedy
-    # (1429 vs 1470 captions/s, batch 1024, staged): the dequant
-    # multiplies and quantizing write cost more than the streaming saves
-    # on this less-bandwidth-bound path. Kept as an oracle-tested
-    # variant; default False. (Beam's Pallas variant wins: 232 -> 256.)
-    # XLA path only (not combinable with fused_attention/chunk write).
+    # int8 KV cache (mirrors BeamConfig.kv_cache_int8). Two routes:
+    #   * XLA seq-major path (fused_attention=False): int8 levels +
+    #     per-slot scales dequantized inside the XLA attention math.
+    #     Measured SLOWER than the exact path (1429 vs 1470 captions/s,
+    #     batch 1024, staged) — kept as an oracle-tested variant.
+    #   * Fused row-major path (fused_attention=True, requires
+    #     fused_slot_chunks): the beam engine's chunked int8 kernel with
+    #     R=1 — generated AND (with int8_prefix) prefix caches stream at
+    #     half the bytes.
     kv_cache_int8: bool = False
+    # int8 PREFIX cache (with kv_cache_int8 + the fused chunked path):
+    # greedy streams the full prefix cache every step — its biggest fixed
+    # traffic term; int8 halves it. None = auto (on for the fused route).
+    int8_prefix: Optional[bool] = None
 
 
 def nucleus_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
@@ -124,14 +129,19 @@ def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
     lengths = jnp.ones((N,), jnp.int32)
     fused = bool(tc.fused_attention)
     chunk_write = bool(tc.chunk_slot_write)
-    if tc.kv_cache_int8 and (fused or chunk_write):
-        raise ValueError("kv_cache_int8 is XLA-path only (not combinable "
-                         "with fused_attention or chunk_slot_write)")
+    if tc.kv_cache_int8 and fused and not tc.fused_slot_chunks:
+        raise ValueError("fused int8 greedy requires fused_slot_chunks")
+    if tc.kv_cache_int8 and chunk_write and not fused:
+        raise ValueError("kv_cache_int8 on the XLA path is not combinable "
+                         "with chunk_slot_write")
+    if tc.kv_cache_int8 and fused and tc.int8_prefix:
+        prefix_cache = gpt2.quantize_prefix_cache(prefix_cache)
     # Slot dim padded to the (8, 128) memref tiling; slots >= step are
     # masked in attention, so padding is free correctness-wise.
     E_pad = -(-E // 8) * 8
     if fused:
-        init_cache = gpt2.init_gen_cache_rowmajor
+        init_cache = (gpt2.init_gen_cache_rowmajor_int8 if tc.kv_cache_int8
+                      else gpt2.init_gen_cache_rowmajor)
     elif tc.kv_cache_int8:
         init_cache = gpt2.init_gen_cache_int8
     else:
@@ -197,6 +207,10 @@ def greedy_topp_search(params: Any, cfg: gpt2.GPT2Config,
         # the plain DUS is already slim — default off (measured slower).
         tc = dataclasses.replace(tc,
                                  chunk_slot_write=bool(tc.fused_attention))
+    if tc.int8_prefix is None:
+        tc = dataclasses.replace(
+            tc, int8_prefix=tc.kv_cache_int8 and bool(tc.fused_attention)
+            and bool(tc.fused_slot_chunks))
     return _greedy_impl(params, cfg, tc, prefix_embeds, key)
 
 

@@ -35,6 +35,14 @@ class CaptionModelConfig:
     num_layers: int = 8
     mapping_type: str = "transformer"
     only_prefix: bool = False        # freeze GPT-2; train the mapper only
+    # Chunked+rematerialized CE (loss_forward): compute the LM-head +
+    # cross-entropy in row chunks of this size under jax.checkpoint, so
+    # the [B, T, vocab] f32 logits never materialize at once (that buffer
+    # is what caps large-batch training throughput — 4.1 GB at bs=512).
+    # Backward recomputes each chunk's logits (one extra head matmul —
+    # cheap vs the HBM saved). 0 = single-shot. Bit-level: the masked
+    # mean is accumulated in f32 either way; values agree to float eps.
+    ce_chunk_rows: int = 0
     gpt2: gpt2.GPT2Config = dataclasses.field(default_factory=gpt2.GPT2Config)
 
     @property
@@ -102,15 +110,40 @@ def loss_forward(params: Params, cfg: CaptionModelConfig,
     prefix_embeds = map_prefix(params, cfg, prefix).astype(tok_embeds.dtype)
     embeds = jnp.concatenate([prefix_embeds, tok_embeds], axis=1)
     hidden = gpt2.forward_hidden(params["gpt"], cfg.gpt2, embeds, mask)
-    logits = gpt2.final_logits(params["gpt"], cfg.gpt2,
-                               hidden[:, K - 1:-1]).astype(jnp.float32)
-    # lse-minus-gather CE: same value as log_softmax+gather without
-    # materializing a second [B, T, V] f32 buffer for the log-probs.
-    lse = jax.nn.logsumexp(logits, axis=-1)
-    picked = jnp.take_along_axis(logits, tokens[..., None], axis=-1)[..., 0]
-    nll = lse - picked
-    valid = (tokens != 0).astype(jnp.float32)
-    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    scored = hidden[:, K - 1:-1]
+
+    def nll_sums(hid, toks):
+        """(sum of masked nll, valid count) for rows hid/toks."""
+        logits = gpt2.final_logits(params["gpt"], cfg.gpt2,
+                                   hid).astype(jnp.float32)
+        # lse-minus-gather CE: same value as log_softmax+gather without
+        # materializing a second [B, T, V] f32 buffer for the log-probs.
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(logits, toks[..., None],
+                                     axis=-1)[..., 0]
+        valid = (toks != 0).astype(jnp.float32)
+        return jnp.sum((lse - picked) * valid), jnp.sum(valid)
+
+    B = tokens.shape[0]
+    C = cfg.ce_chunk_rows
+    if C and B > C and B % C == 0:
+        # Row-chunked CE under jax.checkpoint: the [B, T, V] logits exist
+        # only one [C, T, V] chunk at a time (forward AND backward — the
+        # chunk's logits are recomputed in the VJP instead of stashed).
+        f = jax.checkpoint(nll_sums)
+
+        def body(carry, xs):
+            s, v = f(*xs)
+            return (carry[0] + s, carry[1] + v), None
+
+        T = tokens.shape[1]
+        hid_c = scored.reshape(B // C, C, T, scored.shape[-1])
+        tok_c = tokens.reshape(B // C, C, T)
+        (s, v), _ = jax.lax.scan(body, (jnp.float32(0.0), jnp.float32(0.0)),
+                                 (hid_c, tok_c))
+    else:
+        s, v = nll_sums(scored, tokens)
+    return s / jnp.maximum(v, 1.0)
 
 
 # ---------------------------------------------------------------------------

@@ -409,6 +409,22 @@ def init_gen_cache_int8(cfg: GPT2Config, batch: int, max_new: int) -> Params:
             "vs": jnp.zeros(sshape, jnp.float32)}
 
 
+def quantize_prefix_cache(prefix_cache: Params) -> Params:
+    """Quantize a prefill prefix cache ([L, N, K, D] k/v) to int8 levels +
+    per-(layer, image, slot) absmax scales ([L, N, 1, K] f32).
+
+    The prefix cache is written once and read every decode step by every
+    beam — the largest fixed traffic term of the step; int8 halves it.
+    Consumed by the chunked int8 fused-attention kernel (int8 serving
+    path; NOT token-identical to bf16)."""
+    from ..ops.cache_reorder import absmax_int8_quant
+    qk, sk = absmax_int8_quant(prefix_cache["k"])   # [L,N,K,D], [L,N,K,1]
+    qv, sv = absmax_int8_quant(prefix_cache["v"])
+    return {"k": qk, "v": qv,
+            "ks": sk[..., 0][:, :, None, :],        # [L, N, 1, K]
+            "vs": sv[..., 0][:, :, None, :]}
+
+
 def repeat_prefix_cache(prefix_cache: Params, repeats: int) -> Params:
     """Tile a [L, N, ...] prefix cache to [L, N*R, ...] (unified-cache path)."""
     return jax.tree.map(
@@ -594,6 +610,12 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
             pv_all = prefix_cache["v"]
             gks, gvs = gen_cache["ks"], gen_cache["vs"]
 
+            pks_all = prefix_cache.get("ks")  # int8 prefix cache scales
+            pvs_all = prefix_cache.get("vs")
+            if pks_all is not None and not fused_slot_chunks:
+                raise ValueError("int8 prefix cache requires the chunked "
+                                 "fused kernel (fused_slot_chunks > 0)")
+
             def body_q(x, inputs):
                 layer, l = inputs
 
@@ -604,6 +626,7 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                             gks, gvs, step, l, beams_per_image=R,
                             head_dim=hd, block_beams=fused_block_beams,
                             chunk=fused_slot_chunks,
+                            pks=pks_all, pvs=pvs_all,
                             interpret=fused_interpret)
                     return beam_decode_attention_rowmajor_q(
                         q, k_new, v_new, pk_all, pv_all, genk, genv,

@@ -260,7 +260,8 @@ def _kernel_rm_q(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref,
 def _kernel_rm_chunked(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref,
                        gk_ref, gv_ref, g_ref, out_ref, m_ref, l_ref, acc_ref,
                        *, beams_per_image: int, head_dim: int, scale: float,
-                       n_chunks: int, chunk: int, int8_scales=None):
+                       n_chunks: int, chunk: int, int8_scales=None,
+                       prefix_scales=None, vector_reduce: bool = False):
     """v3: slot-bounded generated-cache reads via a chunk grid dimension.
 
     Grid is (batch_blocks, n_chunks) with the chunk axis innermost. The
@@ -287,18 +288,35 @@ def _kernel_rm_chunked(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref,
 
     g = g_ref[:]                                    # [D, 128] bf16
     q = q_ref[:, 0, :]                              # [TB, D]
+    H = D // head_dim
 
-    def heads(x2d):  # [S, D] -> [S, 128] per-head sums via MXU
-        return jax.lax.dot_general(
-            x2d.astype(jnp.bfloat16), g,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    if vector_reduce:
+        # VPU head reduction/broadcast: the G-matmuls burn
+        # 2*X*D*128 MACs for 12 useful head columns (the MXU tile forces
+        # 128 output lanes) — reshape+sum / lane-repeat trade that for
+        # elementwise VPU work. Scores land in the first H of 128 lanes
+        # (zero elsewhere) to keep the softmax/accumulator shapes
+        # identical to the matmul path.
+        def heads(x2d):  # [S, D] -> [S, 128]
+            s = jnp.sum(x2d.astype(jnp.float32).reshape(
+                x2d.shape[0], H, head_dim), axis=-1)
+            return jnp.pad(s, ((0, 0), (0, 128 - H)))
 
-    def spread(p):  # [S', 128] -> [S', D]
-        return jax.lax.dot_general(
-            p.astype(jnp.bfloat16), g,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        def spread(p):  # [S', 128] -> [S', D]
+            return jnp.repeat(p[:, :H].astype(jnp.bfloat16), head_dim,
+                              axis=-1)
+    else:
+        def heads(x2d):  # [S, D] -> [S, 128] per-head sums via MXU
+            return jax.lax.dot_general(
+                x2d.astype(jnp.bfloat16), g,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def spread(p):  # [S', 128] -> [S', D]
+            return jax.lax.dot_general(
+                p.astype(jnp.bfloat16), g,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
     @pl.when(c == 0)
     def _init():
@@ -309,12 +327,27 @@ def _kernel_rm_chunked(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref,
         pv_rep = jnp.repeat(pv_ref[0], R, axis=0)
         prod_p = (pk_rep.astype(jnp.bfloat16)
                   * q[:, None, :].astype(jnp.bfloat16))
-        sp = heads(prod_p.reshape(TB * K, D)).reshape(TB, K, 128) * scale
+        sp = heads(prod_p.reshape(TB * K, D)).reshape(TB, K, 128)
+        if prefix_scales is not None:
+            # int8 prefix cache: pk/pv blocks are levels; per-(image,
+            # slot) K-scales multiply scores after the head reduction,
+            # V-scales fold into the probabilities before the spread.
+            pks_ref, pvs_ref = prefix_scales
+            pks_rep = jnp.repeat(pks_ref[0, :, 0, :], R, axis=0)  # [TB, K]
+            pvs_rep = jnp.repeat(pvs_ref[0, :, 0, :], R, axis=0)
+            sp = sp * (pks_rep * scale)[:, :, None]
+        else:
+            sp = sp * scale
         scores = jnp.concatenate([sp, sc[:, None, :]], axis=1)  # [TB,K+1,128]
         m0 = jnp.max(scores, axis=1)                             # [TB, 128]
         e = jnp.exp(scores - m0[:, None, :])
         l0 = jnp.sum(e, axis=1)
-        p_all = spread(e.reshape(TB * (K + 1), 128)).reshape(TB, K + 1, D)
+        if prefix_scales is not None:
+            ones_c = jnp.ones((TB, 1), jnp.float32)
+            e_v = e * jnp.concatenate([pvs_rep, ones_c], axis=1)[:, :, None]
+        else:
+            e_v = e
+        p_all = spread(e_v.reshape(TB * (K + 1), 128)).reshape(TB, K + 1, D)
         acc = jnp.sum(p_all[:, :K, :] * pv_rep.astype(jnp.bfloat16),
                       axis=1, dtype=jnp.float32)
         acc = acc + (p_all[:, K, :].astype(jnp.float32)
@@ -403,12 +436,14 @@ def _chunked_blockspecs(TB, TI, K, D, E, C):
 
 @functools.partial(jax.jit,
                    static_argnames=("beams_per_image", "head_dim",
-                                    "block_beams", "chunk", "interpret"))
+                                    "block_beams", "chunk", "interpret",
+                                    "vector_reduce"))
 def beam_decode_attention_chunked(
         q: jnp.ndarray, k_new: jnp.ndarray, v_new: jnp.ndarray,
         pk: jnp.ndarray, pv: jnp.ndarray, gk: jnp.ndarray, gv: jnp.ndarray,
         step: jnp.ndarray, layer: jnp.ndarray, *, beams_per_image: int,
         head_dim: int, block_beams: int = 20, chunk: int = 8,
+        vector_reduce: bool = False,
         interpret: bool = False) -> jnp.ndarray:
     """Slot-bounded fused decode attention (v3) over row-major caches.
 
@@ -437,7 +472,8 @@ def beam_decode_attention_chunked(
 
     kernel = functools.partial(_kernel_rm_chunked, beams_per_image=R,
                                head_dim=head_dim, scale=scale,
-                               n_chunks=NC, chunk=chunk)
+                               n_chunks=NC, chunk=chunk,
+                               vector_reduce=vector_reduce)
     const, gen = _chunked_blockspecs(TB, TI, K, D, E, chunk)
     out = pl.pallas_call(
         kernel,
@@ -471,6 +507,16 @@ def _kernel_rm_chunked_q(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref,
                        acc_ref, int8_scales=(gks_ref, gvs_ref), **kw)
 
 
+def _kernel_rm_chunked_q8p(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref,
+                           pks_ref, pvs_ref, gk_ref, gv_ref, gks_ref,
+                           gvs_ref, g_ref, out_ref, m_ref, l_ref, acc_ref,
+                           **kw):
+    _kernel_rm_chunked(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref,
+                       gk_ref, gv_ref, g_ref, out_ref, m_ref, l_ref,
+                       acc_ref, int8_scales=(gks_ref, gvs_ref),
+                       prefix_scales=(pks_ref, pvs_ref), **kw)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("beams_per_image", "head_dim",
                                     "block_beams", "chunk", "interpret"))
@@ -480,11 +526,16 @@ def beam_decode_attention_chunked_q(
         gks: jnp.ndarray, gvs: jnp.ndarray,
         step: jnp.ndarray, layer: jnp.ndarray, *, beams_per_image: int,
         head_dim: int, block_beams: int = 20, chunk: int = 8,
+        pks: jnp.ndarray = None, pvs: jnp.ndarray = None,
         interpret: bool = False) -> jnp.ndarray:
     """`beam_decode_attention_chunked` over an int8 generated cache
     (levels gk/gv int8 [B, L, E, D]; scales gks/gvs f32 [B, L, 1, E]).
     The full scale rows ride along per batch block (tiny, f32) and the
-    chunk's scales are selected in-kernel with a dynamic one-hot matmul."""
+    chunk's scales are selected in-kernel with a dynamic one-hot matmul.
+
+    With pks/pvs (f32 [L, N, 1, K]) the PREFIX cache is int8 too (pk/pv
+    are levels) — the prefix read is the largest fixed per-step traffic
+    term, shared by all beams of an image, and halves under int8."""
     B, D = q.shape
     L, N, K, _ = pk.shape
     E = gk.shape[2]
@@ -493,6 +544,7 @@ def beam_decode_attention_chunked_q(
         raise ValueError(f"batch {B} is not a multiple of beams_per_image {R}")
     if E % chunk:
         raise ValueError(f"E ({E}) must be a multiple of chunk ({chunk})")
+    int8_prefix = pks is not None
     TB = R * max(1, min(block_beams, B) // R)
     while B % TB:
         TB -= R
@@ -502,19 +554,28 @@ def beam_decode_attention_chunked_q(
     g = _head_matrix(D, head_dim)
     scale = 1.0 / (head_dim ** 0.5)
 
-    kernel = functools.partial(_kernel_rm_chunked_q, beams_per_image=R,
-                               head_dim=head_dim, scale=scale,
-                               n_chunks=NC, chunk=chunk)
+    kernel = functools.partial(
+        _kernel_rm_chunked_q8p if int8_prefix else _kernel_rm_chunked_q,
+        beams_per_image=R, head_dim=head_dim, scale=scale,
+        n_chunks=NC, chunk=chunk)
     const, gen = _chunked_blockspecs(TB, TI, K, D, E, chunk)
     scale_spec = pl.BlockSpec((TB, 1, 1, E), lambda i, c, s: (i, s[1], 0, 0))
+    pscale_spec = pl.BlockSpec((1, TI, 1, K),
+                               lambda i, c, s: (s[1], i, 0, 0))
+    in_specs = list(const)
+    operands = [q[:, None, :], k_new[:, None, :], v_new[:, None, :], pk, pv]
+    if int8_prefix:
+        in_specs += [pscale_spec, pscale_spec]
+        operands += [pks, pvs]
+    in_specs += gen + [scale_spec, scale_spec,
+                       pl.BlockSpec((D, 128), lambda i, c, s: (0, 0))]
+    operands += [gk, gv, gks, gvs, g]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=const + gen + [scale_spec, scale_spec] + [
-                pl.BlockSpec((D, 128), lambda i, c, s: (0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((TB, 1, D), lambda i, c, s: (i, 0, 0)),
             ],
@@ -527,8 +588,7 @@ def beam_decode_attention_chunked_q(
         out_shape=[jax.ShapeDtypeStruct((B, 1, D), jnp.float32)],
         interpret=interpret,
     )(jnp.stack([step.astype(jnp.int32), layer.astype(jnp.int32)]),
-      q[:, None, :], k_new[:, None, :], v_new[:, None, :], pk, pv, gk, gv,
-      gks, gvs, g)
+      *operands)
     return out[0][:, 0, :]
 
 

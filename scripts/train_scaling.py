@@ -23,12 +23,14 @@ def main():
     from capdec_tpu.train import step as step_lib
 
     T, K = 40, 8
+    ce_chunk = int(os.environ.get("CE_CHUNK", "0"))
     sizes = ([int(a) for a in sys.argv[1:]] if len(sys.argv) > 1
              else (30, 120, 240))
     for bs in sizes:
         cfg = caption_model.CaptionModelConfig(
             prefix_length=40, clip_length=40, prefix_size=640, num_layers=8,
             mapping_type="transformer", only_prefix=True,
+            ce_chunk_rows=ce_chunk,
             gpt2=gpt2.GPT2Config(compute_dtype=jnp.bfloat16))
         params = caption_model.init_params(jax.random.PRNGKey(1), cfg)
         tx = optim_lib.make_optimizer(
@@ -52,8 +54,8 @@ def main():
             state, losses = multi_step(state, stacked, key)
         np.asarray(losses[-1])
         dt = (time.perf_counter() - t0) / iters
-        print(f"bs={bs}: {bs * K / dt:.0f} samples/s "
-              f"({dt / K * 1000:.1f} ms/step)")
+        print(f"bs={bs} ce_chunk={ce_chunk}: {bs * K / dt:.0f} samples/s "
+              f"({dt / K * 1000:.1f} ms/step)", flush=True)
 
 
 if __name__ == "__main__":

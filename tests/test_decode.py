@@ -426,10 +426,16 @@ def test_greedy_int8_kv_cache_agrees_with_fp_path(models):
 def test_greedy_int8_rejects_incompatible_knobs(models):
     _, params, cfg = models
     prefixes = _random_prefixes(1, 4, SMALL["n_embd"], seed=1)
+    # fused int8 needs the chunked kernel route
     tc = ToppConfig(entry_length=6, kv_cache_int8=True,
-                    fused_attention=True)
-    with pytest.raises(ValueError, match="XLA-path only"):
+                    fused_attention=True, fused_slot_chunks=0)
+    with pytest.raises(ValueError, match="fused_slot_chunks"):
         greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc)
+    # XLA-path int8 doesn't combine with the seq-major chunk write
+    tc2 = ToppConfig(entry_length=6, kv_cache_int8=True,
+                     fused_attention=False, chunk_slot_write=True)
+    with pytest.raises(ValueError, match="chunk_slot_write"):
+        greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc2)
 
 
 @pytest.mark.parametrize("stages", [1, 3])
@@ -499,3 +505,46 @@ def test_greedy_v3_slot_bounded_matches_xla_path(models):
         greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc_v3))
     np.testing.assert_array_equal(l1, l2)
     np.testing.assert_array_equal(t1, t2)
+
+
+def test_beam_full_int8_with_prefix_agrees_with_fp_path(models):
+    """Full-int8 serving path (generated + prefix caches): valid captions
+    with overwhelming token agreement vs the fp path."""
+    tm, params, cfg = models
+    K, E, R = 6, 24, 4
+    prefixes = _random_prefixes(3, K, SMALL["n_embd"], seed=51)
+    base = dict(beam_size=R, entry_length=E, stop_token=13,
+                pallas_reorder=False)
+    bc_fp = BeamConfig(fused_attention=True, fused_interpret=True,
+                       chunk_slot_write=False, fused_slot_chunks=0, **base)
+    bc_q = BeamConfig(fused_attention=True, fused_interpret=True,
+                      kv_cache_int8=True, fused_slot_chunks=8,
+                      int8_prefix=True, **base)
+    t_fp, *_ = jax.tree.map(
+        np.asarray, beam_search(params, cfg, jnp.asarray(prefixes), bc_fp))
+    t_q, l_q, s_q, o_q = jax.tree.map(
+        np.asarray, beam_search(params, cfg, jnp.asarray(prefixes), bc_q))
+    assert np.isfinite(s_q).all()
+    agree = (t_q == t_fp).mean()
+    assert agree >= 0.8, f"token agreement {agree:.2%}"
+
+
+def test_greedy_full_int8_fused_agrees_with_fp_path(models):
+    """Greedy through the fused chunked int8 route (generated + prefix
+    int8): valid tokens, overwhelming agreement with the exact path."""
+    tm, params, cfg = models
+    K, E = 5, 18
+    prefixes = _random_prefixes(4, K, SMALL["n_embd"], seed=52)
+    tc_fp = ToppConfig(entry_length=E, stop_token=13, extra_stop_token=764)
+    tc_q = ToppConfig(entry_length=E, stop_token=13, extra_stop_token=764,
+                      fused_attention=True, fused_interpret=True,
+                      fused_slot_chunks=8, kv_cache_int8=True,
+                      cache_stages=1)
+    t1, l1 = jax.tree.map(
+        np.asarray,
+        greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc_fp))
+    t2, l2 = jax.tree.map(
+        np.asarray,
+        greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc_q))
+    agree = (t1 == t2).mean()
+    assert agree >= 0.8, f"token agreement {agree:.2%}"

@@ -331,3 +331,65 @@ def test_chunked_q_kernel_matches_dequant_oracle(step, layer):
     ref = oracle(q, k_new, v_new, pk[layer], pv[layer], deq_k, deq_v,
                  step, R, hd)
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("step,layer", [(0, 1), (9, 2), (23, 0)])
+def test_chunked_q_int8_prefix_matches_dequant_oracle(step, layer):
+    """Full-int8 path (generated AND prefix caches quantized): kernel ==
+    fp oracle on the dequantized caches."""
+    from capdec_tpu.ops.decode_attention import (
+        beam_decode_attention_chunked_q)
+    rng = np.random.RandomState(50 + step)
+    N, R, K, E, D, hd, L = 2, 5, 6, 24, 256, 64, 3
+    B = N * R
+    mk = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
+    q, k_new, v_new = mk(B, D), mk(B, D), mk(B, D)
+    pk, pv = mk(L, N, K, D), mk(L, N, K, D)
+    gk, gv = mk(B, L, E, D), mk(B, L, E, D)
+    qk, sk = _quantize(gk)
+    qv, sv = _quantize(gv)
+    qpk, spk = _quantize(pk)   # [L, N, K, D] int8, [L, N, K] f32
+    qpv, spv = _quantize(pv)
+
+    out = beam_decode_attention_chunked_q(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(qpk), jnp.asarray(qpv), jnp.asarray(qk),
+        jnp.asarray(qv),
+        jnp.asarray(sk[:, :, None, :]), jnp.asarray(sv[:, :, None, :]),
+        jnp.asarray(step, jnp.int32), jnp.asarray(layer, jnp.int32),
+        beams_per_image=R, head_dim=hd, block_beams=R, chunk=8,
+        pks=jnp.asarray(spk[:, :, None, :]),
+        pvs=jnp.asarray(spv[:, :, None, :]), interpret=True)
+
+    deq_k = qk[:, layer].astype(np.float32) * sk[:, layer, :, None]
+    deq_v = qv[:, layer].astype(np.float32) * sv[:, layer, :, None]
+    deq_pk = qpk[layer].astype(np.float32) * spk[layer, :, :, None]
+    deq_pv = qpv[layer].astype(np.float32) * spv[layer, :, :, None]
+    ref = oracle(q, k_new, v_new, deq_pk, deq_pv, deq_k, deq_v,
+                 step, R, hd)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("step,layer", [(0, 0), (9, 1), (23, 2)])
+def test_chunked_kernel_vector_reduce_matches_oracle(step, layer):
+    """vector_reduce variant (VPU reshape+sum / lane-repeat instead of
+    the head-grouping G-matmuls) == the numpy oracle."""
+    from capdec_tpu.ops.decode_attention import beam_decode_attention_chunked
+    rng = np.random.RandomState(60 + step)
+    N, R, K, E, D, hd, L = 2, 5, 6, 24, 256, 64, 3
+    B = N * R
+    mk = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
+    q, k_new, v_new = mk(B, D), mk(B, D), mk(B, D)
+    pk, pv = mk(L, N, K, D), mk(L, N, K, D)
+    gk, gv = mk(B, L, E, D), mk(B, L, E, D)
+    gk[:, :, step:] = 0.0
+    gv[:, :, step:] = 0.0
+    out = beam_decode_attention_chunked(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(pk), jnp.asarray(pv), jnp.asarray(gk), jnp.asarray(gv),
+        jnp.asarray(step, jnp.int32), jnp.asarray(layer, jnp.int32),
+        beams_per_image=R, head_dim=hd, block_beams=R, chunk=8,
+        vector_reduce=True, interpret=True)
+    ref = oracle(q, k_new, v_new, pk[layer], pv[layer], gk[:, layer],
+                 gv[:, layer], step, R, hd)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-2, rtol=5e-2)

@@ -230,3 +230,30 @@ def test_loss_forward_matches_forward_plus_loss_fn():
         p, cfg, batch["tokens"], batch["prefix"], batch["mask"]))(params)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g_ref, g_fused)
+
+
+def test_ce_chunked_matches_single_shot():
+    """ce_chunk_rows: chunked+rematerialized CE == the single-shot loss
+    and (trainable-subtree) gradients to float eps."""
+    import dataclasses
+
+    from capdec_tpu.models import caption_model
+
+    cfg = tiny_cfg(mapping_type="mlp", only_prefix=True)
+    cfg_c = dataclasses.replace(cfg, ce_chunk_rows=2)
+    params = caption_model.init_params(jax.random.PRNGKey(5), cfg)
+    batch = make_batch(np.random.RandomState(5), bs=8, cfg=cfg)
+
+    def loss(cfg_):
+        def f(p):
+            return caption_model.loss_forward(
+                p, cfg_, batch["tokens"], batch["prefix"], batch["mask"])
+        return jax.jit(jax.value_and_grad(f))(params)
+
+    l1, g1 = loss(cfg)
+    l2, g2 = loss(cfg_c)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1["clip_project"]),
+                    jax.tree.leaves(g2["clip_project"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
