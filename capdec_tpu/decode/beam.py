@@ -242,6 +242,12 @@ class BeamConfig:
     # (fused_slot_chunks). None = auto (on when kv_cache_int8 and
     # fused_slot_chunks are active).
     int8_prefix: Optional[bool] = None
+    # Fused LM-head + logsumexp + top-R Pallas kernel (ops/lm_head.py):
+    # the [B, vocab] f32 logits (515 MB at N=512) and their two reduction
+    # passes never touch HBM. Exact same top-R values/indices/ties as the
+    # XLA path; lse differs only in f32 reduction order. Requires
+    # temperature == 1 (the reference default). None = auto.
+    fused_lm_head: Optional[bool] = None
     # Perf-ablation ONLY: skip the cache permutation entirely. Results are
     # WRONG; this measures the no-reorder floor of the decode step.
     skip_reorder_unsafe: bool = False
@@ -349,7 +355,7 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
                 gen_cache = fixed
             else:
                 gen_cache = _reorder_gen_cache(gen_cache, pending_src, bc)
-        logits, gen_cache = gpt2.decode_step(
+        out, gen_cache = gpt2.decode_step(
             params, cfg, cur, prefix_cache, gen_cache, i - 1,
             anc_oh=anc if bc.ancestry else None,
             rowmajor=bc.rowmajor_cache,
@@ -360,21 +366,30 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
             and not bc.ancestry,
             fused_interpret=bc.fused_interpret,
             fused_block_beams=bc.fused_block_beams,
-            fused_slot_chunks=int(bc.fused_slot_chunks or 0))
-        if bc.temperature > 0 and bc.temperature != 1.0:
-            logits = logits / bc.temperature
-        logits = logits.astype(jnp.float32)
+            fused_slot_chunks=int(bc.fused_slot_chunks or 0),
+            return_hidden=bool(bc.fused_lm_head))
         # Per-beam candidate reduction: adding the per-beam score and
         # dividing by the per-beam length are monotonic within a beam, so
         # the global flat top-R over beam*vocab can only select tokens from
         # each beam's own top-R — an exact (R*R)-candidate shortlist
         # replaces the reference's full [R*V] topk (:95). Stopped beams
         # contribute their single pinned candidate (token 0, logp 0, :90-91).
-        lse = jax.nn.logsumexp(logits, axis=-1)              # [B]
-        if bc.chunked_top_k:
-            cand_val, cand_tok = exact_top_k_chunked(logits, R)
+        if bc.fused_lm_head:
+            # `out` is the ln_f'd hidden; LM head + lse + top-R fused in
+            # one kernel — the [B, V] logits never reach HBM.
+            from ..ops.lm_head import lm_head_topk
+            cand_val, cand_tok, lse = lm_head_topk(
+                out, params["wte"], R, interpret=bc.fused_interpret)
         else:
-            cand_val, cand_tok = lax.top_k(logits, R)        # [B, R]
+            logits = out
+            if bc.temperature > 0 and bc.temperature != 1.0:
+                logits = logits / bc.temperature
+            logits = logits.astype(jnp.float32)
+            lse = jax.nn.logsumexp(logits, axis=-1)          # [B]
+            if bc.chunked_top_k:
+                cand_val, cand_tok = exact_top_k_chunked(logits, R)
+            else:
+                cand_val, cand_tok = lax.top_k(logits, R)    # [B, R]
         cand_logp = (cand_val - lse[:, None]).reshape(N, R, R)
         cand_tok = cand_tok.reshape(N, R, R)
         cand_logp = jnp.where(is_stopped[:, :, None], NEG, cand_logp)
@@ -540,6 +555,10 @@ def beam_search(params: Any, cfg: gpt2.GPT2Config, prefix_embeds: jnp.ndarray,
     if bc.int8_prefix is None:
         bc = dataclasses.replace(
             bc, int8_prefix=bc.kv_cache_int8 and bool(bc.fused_slot_chunks))
+    if bc.fused_lm_head is None:
+        bc = dataclasses.replace(bc, fused_lm_head=False)
+    if bc.fused_lm_head and bc.temperature > 0 and bc.temperature != 1.0:
+        raise ValueError("fused_lm_head requires temperature == 1")
     return _beam_search_impl(params, cfg, bc, prefix_embeds)
 
 

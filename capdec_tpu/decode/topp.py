@@ -82,6 +82,11 @@ class ToppConfig:
     # greedy streams the full prefix cache every step — its biggest fixed
     # traffic term; int8 halves it. None = auto (on for the fused route).
     int8_prefix: Optional[bool] = None
+    # Fused LM-head + top-1 Pallas kernel (ops/lm_head.py): the [B, vocab]
+    # logits never reach HBM; argmax-identical to the XLA path (the
+    # nucleus-filter-then-argmax contract reduces to argmax). Requires
+    # temperature == 1 and sample=False. None = auto.
+    fused_lm_head: Optional[bool] = None
 
 
 def nucleus_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
@@ -160,14 +165,21 @@ def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
 
     def body(c):
         i, tokens, stopped, lengths, cur, gen_cache, key = c
-        logits, gen_cache = gpt2.decode_step(
+        out, gen_cache = gpt2.decode_step(
             params, cfg, cur, prefix_cache, gen_cache, i - 1,
             rowmajor=fused, chunk_slot_write=chunk_write,
             fused_attention=fused, fused_interpret=tc.fused_interpret,
             fused_block_beams=tc.fused_block_beams,
-            fused_slot_chunks=tc.fused_slot_chunks if fused else 0)
+            fused_slot_chunks=tc.fused_slot_chunks if fused else 0,
+            return_hidden=bool(tc.fused_lm_head))
         key, kp = jax.random.split(key)
-        nxt = _pick(logits, tc, kp).astype(jnp.int32)
+        if tc.fused_lm_head:
+            from ..ops.lm_head import lm_head_topk
+            _, idx, _ = lm_head_topk(out, params["wte"], 1,
+                                     interpret=tc.fused_interpret)
+            nxt = idx[:, 0]
+        else:
+            nxt = _pick(out, tc, kp).astype(jnp.int32)
         alive = jnp.logical_not(stopped)
         tokens = tokens.at[:, i].set(jnp.where(alive, nxt, 0))
         lengths = lengths + alive.astype(jnp.int32)
@@ -211,6 +223,12 @@ def greedy_topp_search(params: Any, cfg: gpt2.GPT2Config,
         tc = dataclasses.replace(
             tc, int8_prefix=tc.kv_cache_int8 and bool(tc.fused_attention)
             and bool(tc.fused_slot_chunks))
+    if tc.fused_lm_head is None:
+        tc = dataclasses.replace(tc, fused_lm_head=False)
+    if tc.fused_lm_head and (tc.sample or (tc.temperature > 0
+                                           and tc.temperature != 1.0)):
+        raise ValueError("fused_lm_head requires sample=False and "
+                         "temperature == 1")
     return _greedy_impl(params, cfg, tc, prefix_embeds, key)
 
 

@@ -219,6 +219,17 @@ def final_logits(params: Params, cfg: GPT2Config,
     return _final_logits(params, cfg, x)
 
 
+def final_hidden(params: Params, cfg: GPT2Config,
+                 x: jnp.ndarray) -> jnp.ndarray:
+    """ln_f only, cast to the compute dtype — the input contract of the
+    fused LM-head kernel (ops/lm_head.py), which performs the tied-head
+    matmul itself (same bf16 operands / f32 accumulation as
+    `_final_logits`)."""
+    x = _layer_norm(x, params["ln_f"]["scale"], params["ln_f"]["bias"],
+                    cfg.layer_norm_epsilon)
+    return x.astype(cfg.compute_dtype)
+
+
 def embed_tokens(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
     """Token embedding lookup (reference `gpt.transformer.wte(tokens)`)."""
     return jnp.take(params["wte"], tokens, axis=0)
@@ -441,7 +452,8 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                 fused_attention: bool = False,
                 fused_interpret: bool = False,
                 fused_block_beams: int = 20,
-                fused_slot_chunks: int = 0
+                fused_slot_chunks: int = 0,
+                return_hidden: bool = False
                 ) -> Tuple[jnp.ndarray, Params]:
     """One decode step over split caches.
 
@@ -487,6 +499,14 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
     # updating the full cache inside the scan defeats XLA's in-place buffer
     # aliasing and copies ~GBs per decode step (measured via jax.profiler).
     gen_valid = jnp.arange(E) < step                    # [E]
+
+    def head_out(x):
+        """Final projection of the step's hidden state: logits, or the
+        ln_f'd hidden when the caller runs the fused LM-head kernel
+        (ops/lm_head.py) itself."""
+        if return_hidden:
+            return final_hidden(params, cfg, x)[:, 0]
+        return _final_logits(params, cfg, x)[:, 0]
     scale = 1.0 / (hd ** 0.5)
 
     def heads(prod):
@@ -642,7 +662,7 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
             upd = write_gen_slot_chunk_q(
                 genk, genv, gks, gvs, ks.transpose(1, 0, 2),
                 vs.transpose(1, 0, 2), step, interpret=fused_interpret)
-            logits = _final_logits(params, cfg, x)[:, 0]
+            logits = head_out(x)
             return logits, upd
 
         if fused_attention:
@@ -740,7 +760,7 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
             gen_cache["ks"], sk_new[:, :, None, :], (0, 0, 0, step))
         new_vs = lax.dynamic_update_slice(
             gen_cache["vs"], sv_new[:, :, None, :], (0, 0, 0, step))
-        logits = _final_logits(params, cfg, x)[:, 0]
+        logits = head_out(x)
         return logits, {"k": new_k, "v": new_v,
                         "ks": new_ks, "vs": new_vs}
     else:
@@ -769,7 +789,7 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                 gen_cache["v"],
                 vs[:, :, None, :].astype(gen_cache["v"].dtype),
                 (0, 0, step, 0))
-    logits = _final_logits(params, cfg, x)[:, 0]
+    logits = head_out(x)
     return logits, {"k": new_k, "v": new_v}
 
 

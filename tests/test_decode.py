@@ -548,3 +548,47 @@ def test_greedy_full_int8_fused_agrees_with_fp_path(models):
         greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc_q))
     agree = (t1 == t2).mean()
     assert agree >= 0.8, f"token agreement {agree:.2%}"
+
+
+def test_beam_fused_lm_head_matches_xla_path(models):
+    """Fused LM-head + lse + top-R kernel: token-identical beams (the
+    kernel's top-R is exact incl. lowest-index ties)."""
+    tm, params, cfg = models
+    K, E, R = 6, 16, 4
+    prefixes = _random_prefixes(3, K, SMALL["n_embd"], seed=61)
+    base = dict(beam_size=R, entry_length=E, stop_token=13,
+                pallas_reorder=False, fused_attention=False,
+                chunk_slot_write=False)
+    bc_xla = BeamConfig(**base)
+    bc_flm = BeamConfig(fused_lm_head=True, fused_interpret=True, **base)
+    r1 = jax.tree.map(np.asarray,
+                      beam_search(params, cfg, jnp.asarray(prefixes), bc_xla))
+    r2 = jax.tree.map(np.asarray,
+                      beam_search(params, cfg, jnp.asarray(prefixes),
+                                  bc_flm))
+    np.testing.assert_array_equal(r1[0], r2[0])  # tokens
+    np.testing.assert_array_equal(r1[1], r2[1])  # lengths
+    np.testing.assert_allclose(r1[2], r2[2], atol=1e-4)  # scores (lse order)
+    np.testing.assert_array_equal(r1[3], r2[3])  # order
+
+
+def test_greedy_fused_lm_head_matches_xla_path(models):
+    tm, params, cfg = models
+    K, E = 5, 14
+    prefixes = _random_prefixes(4, K, SMALL["n_embd"], seed=62)
+    tc_xla = ToppConfig(entry_length=E, stop_token=13, extra_stop_token=764)
+    tc_flm = ToppConfig(entry_length=E, stop_token=13, extra_stop_token=764,
+                        fused_lm_head=True, fused_interpret=True)
+    t1, l1 = jax.tree.map(
+        np.asarray,
+        greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc_xla))
+    t2, l2 = jax.tree.map(
+        np.asarray,
+        greedy_topp_search(params, cfg, jnp.asarray(prefixes), tc_flm))
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_array_equal(t1, t2)
+    # guard: incompatible knobs rejected
+    with pytest.raises(ValueError, match="fused_lm_head"):
+        greedy_topp_search(params, cfg, jnp.asarray(prefixes),
+                           ToppConfig(entry_length=4, fused_lm_head=True,
+                                      sample=True))
