@@ -28,6 +28,7 @@ def main():
     # unset = auto) and bounded fork copy (unset = auto)
     slotchunks = opts.get("slotchunks")
     bfc = opts.get("bfc")
+    flm = opts.get("flm")  # fused LM-head+lse+topR kernel (unset = auto)
 
     from capdec_tpu.utils.jax_setup import setup_jax
     setup_jax()
@@ -58,7 +59,8 @@ def main():
                     fused_slot_chunks=None if slotchunks is None
                     else int(slotchunks),
                     bounded_fork_copy=None if bfc is None
-                    else bool(int(bfc)))
+                    else bool(int(bfc)),
+                    fused_lm_head=None if flm is None else bool(int(flm)))
 
     def run():
         toks, lens, scores, order = beam_search(params["gpt"], cfg.gpt2,
@@ -76,7 +78,7 @@ def main():
         "N": N, "stages": stages, "fused": fused, "skip": skip,
         "lanes": lanes, "beam": beam, "chunk": bc.chunk_slot_write,
         "int8": int8, "block": block, "slotchunks": slotchunks,
-        "bfc": bfc,
+        "bfc": bfc, "flm": flm,
         "caps_per_s": round(N / dt, 1),
         "ms_per_step": round(dt / 67 * 1000, 2),
         "compile_s": round(compile_s, 1),

@@ -21,6 +21,7 @@ def main():
     iters = int(opts.get("iters", 5))
     slotchunks = int(opts.get("slotchunks", 0))  # v3 slot-bounded kernel
     block = int(opts.get("block", 20))
+    flm = opts.get("flm")  # fused LM-head kernel (unset = auto)
 
     from capdec_tpu.utils.jax_setup import setup_jax
     setup_jax()
@@ -46,6 +47,7 @@ def main():
                     fused_attention=fused, cache_stages=stages,
                     kv_cache_int8=int8, fused_slot_chunks=slotchunks,
                     fused_block_beams=block,
+                    fused_lm_head=None if flm is None else bool(int(flm)),
                     chunk_slot_write=None if chunk is None
                     else bool(int(chunk)))
 
@@ -64,7 +66,7 @@ def main():
     print(json.dumps({
         "N": N, "fused": fused, "chunk": tc.chunk_slot_write,
         "stages": stages, "int8": int8, "slotchunks": slotchunks,
-        "block": block,
+        "block": block, "flm": flm,
         "caps_per_s": round(N / dt, 1),
         "ms_per_step": round(dt / 67 * 1000, 2),
         "compile_s": round(compile_s, 1),
