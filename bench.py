@@ -214,8 +214,15 @@ def main():
         train_mfu = -1.0  # cost analysis unavailable on this backend
 
     # reference-structure baseline: separate grad/update dispatches,
-    # per-step H2D + loss.item() sync
+    # per-step H2D + loss.item() sync, at the reference's bs=30 contract
     import optax
+
+    bs = 30
+    host_batch = {
+        "tokens": np.asarray(rng.randint(1, 50257, (bs, T)), np.int32),
+        "mask": np.ones((bs, 80), np.float32),
+        "prefix": np.asarray(rng.randn(bs, 640), np.float32),
+    }
 
     def loss_fn(p, b, k):
         from capdec_tpu.ops import noise as noise_ops

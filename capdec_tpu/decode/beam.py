@@ -221,8 +221,10 @@ class BeamConfig:
     # containing `step` — attention reads scale with the decoded length
     # instead of the cache allocation, so the engine can run ONE full-size
     # cache (cache_stages=1: no grow copies, no transient double
-    # allocation). 0 = the full-read v2 kernel; None = auto (8 with fused
-    # attention on TPU). Must divide the 8-aligned stage buckets.
+    # allocation). 0 = the full-read v2 kernel; None = auto (0 — v3
+    # measured slower than v2+staging in every hardware head-to-head,
+    # docs/PERFORMANCE.md round-3). Must divide the 8-aligned stage
+    # buckets.
     fused_slot_chunks: Optional[int] = None
     # Fork copies move only slot chunks below the current step
     # (ops.cache_reorder.copy_forked_rows_bounded) instead of whole cache
@@ -244,9 +246,11 @@ class BeamConfig:
     int8_prefix: Optional[bool] = None
     # Fused LM-head + logsumexp + top-R Pallas kernel (ops/lm_head.py):
     # the [B, vocab] f32 logits (515 MB at N=512) and their two reduction
-    # passes never touch HBM. Exact same top-R values/indices/ties as the
-    # XLA path; lse differs only in f32 reduction order. Requires
-    # temperature == 1 (the reference default). None = auto.
+    # passes never touch HBM. Selection-exact (top-R indices incl. ties)
+    # vs lax.top_k on f32 logits; values keep f32 accumulation — MORE
+    # precise than the XLA path's bf16-rounded logits. Requires
+    # temperature == 1 (the reference default). None = auto (on on TPU;
+    # measured 232.8 -> 246.7 caps/s at N=512).
     fused_lm_head: Optional[bool] = None
     # Perf-ablation ONLY: skip the cache permutation entirely. Results are
     # WRONG; this measures the no-reorder floor of the decode step.
@@ -546,8 +550,12 @@ def beam_search(params: Any, cfg: gpt2.GPT2Config, prefix_embeds: jnp.ndarray,
         bc = dataclasses.replace(
             bc, chunk_slot_write=bool(bc.fused_attention))
     if bc.fused_slot_chunks is None:
-        bc = dataclasses.replace(
-            bc, fused_slot_chunks=8 if bc.fused_attention else 0)
+        # v3 (slot-bounded reads) lost every hardware head-to-head vs the
+        # v2 full-read kernel under staged growth (206.7-242.7 vs
+        # 232.8-246.7 caps/s at N=512; docs/PERFORMANCE.md round-3
+        # tables) — the finer chunk grid's per-program overhead exceeds
+        # the DMA it saves. Default to v2; v3 stays opt-in.
+        bc = dataclasses.replace(bc, fused_slot_chunks=0)
     if bc.bounded_fork_copy is None:
         bc = dataclasses.replace(
             bc, bounded_fork_copy=bool(bc.fused_slot_chunks)
@@ -556,7 +564,12 @@ def beam_search(params: Any, cfg: gpt2.GPT2Config, prefix_embeds: jnp.ndarray,
         bc = dataclasses.replace(
             bc, int8_prefix=bc.kv_cache_int8 and bool(bc.fused_slot_chunks))
     if bc.fused_lm_head is None:
-        bc = dataclasses.replace(bc, fused_lm_head=False)
+        # measured on hardware: 232.8 -> 246.7 caps/s at N=512 (the
+        # [B, V] f32 logits + two reduction passes never touch HBM).
+        # TPU only (pallas path); requires temperature == 1.
+        bc = dataclasses.replace(
+            bc, fused_lm_head=bool(bc.pallas_reorder)
+            and (bc.temperature <= 0 or bc.temperature == 1.0))
     if bc.fused_lm_head and bc.temperature > 0 and bc.temperature != 1.0:
         raise ValueError("fused_lm_head requires temperature == 1")
     return _beam_search_impl(params, cfg, bc, prefix_embeds)
