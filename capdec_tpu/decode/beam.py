@@ -531,14 +531,9 @@ def pallas_autodetect() -> bool:
                    for d in jax.devices()))
 
 
-def beam_search(params: Any, cfg: gpt2.GPT2Config, prefix_embeds: jnp.ndarray,
-                bc: BeamConfig = BeamConfig()
-                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Decode a batch of prefix embeddings [N, K, D].
-
-    Returns (tokens [N,R,E], seq_lengths [N,R], scores [N,R], order [N,R])
-    where `order` ranks beams by length-normalized score descending.
-    """
+def resolve_config(bc: BeamConfig) -> BeamConfig:
+    """Resolve every None (auto) knob to its measured production value
+    for the current platform (tested in tests/test_decode.py)."""
     if bc.pallas_reorder is None:
         bc = dataclasses.replace(bc, pallas_reorder=pallas_autodetect())
     if bc.pallas_slot_write is None:
@@ -572,7 +567,18 @@ def beam_search(params: Any, cfg: gpt2.GPT2Config, prefix_embeds: jnp.ndarray,
             and (bc.temperature <= 0 or bc.temperature == 1.0))
     if bc.fused_lm_head and bc.temperature > 0 and bc.temperature != 1.0:
         raise ValueError("fused_lm_head requires temperature == 1")
-    return _beam_search_impl(params, cfg, bc, prefix_embeds)
+    return bc
+
+
+def beam_search(params: Any, cfg: gpt2.GPT2Config, prefix_embeds: jnp.ndarray,
+                bc: BeamConfig = BeamConfig()
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode a batch of prefix embeddings [N, K, D].
+
+    Returns (tokens [N,R,E], seq_lengths [N,R], scores [N,R], order [N,R])
+    where `order` ranks beams by length-normalized score descending.
+    """
+    return _beam_search_impl(params, cfg, resolve_config(bc), prefix_embeds)
 
 
 def beam_texts(tokenizer, tokens, seq_lengths, order) -> List[List[str]]:

@@ -204,14 +204,9 @@ def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
     return tokens, lengths
 
 
-def greedy_topp_search(params: Any, cfg: gpt2.GPT2Config,
-                       prefix_embeds: jnp.ndarray,
-                       tc: ToppConfig = ToppConfig(),
-                       key: Optional[jnp.ndarray] = None
-                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Decode a batch of prefixes [N, K, D] → (tokens [N, E], lengths [N])."""
-    if key is None:
-        key = jax.random.PRNGKey(0)
+def resolve_config(tc: ToppConfig) -> ToppConfig:
+    """Resolve every None (auto) knob to its measured production value
+    for the current platform (tested in tests/test_decode.py)."""
     if tc.fused_attention is None:
         tc = dataclasses.replace(tc, fused_attention=False)
     if tc.chunk_slot_write is None:
@@ -235,6 +230,18 @@ def greedy_topp_search(params: Any, cfg: gpt2.GPT2Config,
                                            and tc.temperature != 1.0)):
         raise ValueError("fused_lm_head requires sample=False and "
                          "temperature == 1")
+    return tc
+
+
+def greedy_topp_search(params: Any, cfg: gpt2.GPT2Config,
+                       prefix_embeds: jnp.ndarray,
+                       tc: ToppConfig = ToppConfig(),
+                       key: Optional[jnp.ndarray] = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode a batch of prefixes [N, K, D] → (tokens [N, E], lengths [N])."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    tc = resolve_config(tc)
     return _greedy_impl(params, cfg, tc, prefix_embeds, key)
 
 
