@@ -27,6 +27,36 @@ def main():
     from capdec_tpu.decode import BeamConfig, beam_search
     from capdec_tpu.models import caption_model, gpt2
 
+    # --- chip's achievable bf16 matmul peak (for the MFU figure below) ------
+    # Measured FIRST, on an empty chip: the two 8192^2 operands need a
+    # contiguous 256 MB which the allocator could not always carve out
+    # after the train sweep's near-OOM batches (observed RESOURCE_EXHAUSTED
+    # when this ran last). Same methodology as scripts/chip_roofline.py.
+    rng = np.random.RandomState(0)
+    peak_flops = 0.0
+    try:
+        a8 = jnp.asarray(rng.randn(8192, 8192), jnp.bfloat16)
+        b8 = jnp.asarray(rng.randn(8192, 8192), jnp.bfloat16)
+
+        @jax.jit
+        def mm(a, b):
+            def body(s, _):
+                out = jnp.dot(a + (s * 1e-30).astype(a.dtype), b,
+                              preferred_element_type=jnp.float32)
+                return out.sum() * 1e-30, None
+            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=4)
+            return s
+
+        jax.block_until_ready(mm(a8, b8))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = mm(a8, b8)
+        jax.block_until_ready(out)
+        peak_flops = 2 * 8192 ** 3 * 4 / ((time.perf_counter() - t0) / 3)
+        del a8, b8, out
+    except Exception:
+        pass  # MFU degrades to -1 below
+
     cfg = caption_model.CaptionModelConfig(
         prefix_length=40, clip_length=40, prefix_size=640, num_layers=8,
         mapping_type="transformer",
@@ -194,28 +224,9 @@ def main():
 
     # MFU at the optimal batch: model FLOPs per step (XLA cost analysis)
     # over step time, against the chip's MEASURED big-matmul bf16 peak
-    # (8192^3, same methodology as scripts/chip_roofline.py) — the
-    # achievable ceiling, not the datasheet number.
-    a8 = jnp.asarray(rng.randn(8192, 8192), jnp.bfloat16)
-    b8 = jnp.asarray(rng.randn(8192, 8192), jnp.bfloat16)
-
-    @jax.jit
-    def mm(a, b):
-        def body(s, _):
-            out = jnp.dot(a + (s * 1e-30).astype(a.dtype), b,
-                          preferred_element_type=jnp.float32)
-            return out.sum() * 1e-30, None
-        s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=4)
-        return s
-
-    jax.block_until_ready(mm(a8, b8))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        out = mm(a8, b8)
-    jax.block_until_ready(out)
-    peak_flops = 2 * 8192 ** 3 * 4 / ((time.perf_counter() - t0) / 3)
-    del a8, b8
-    if best_flops > 0:
+    # (computed at the top of main on an empty chip) — the achievable
+    # ceiling, not the datasheet number.
+    if best_flops > 0 and peak_flops > 0:
         step_t_best = best_bs / best_sps
         train_mfu = best_flops / step_t_best / peak_flops
     else:

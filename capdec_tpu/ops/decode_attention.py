@@ -118,9 +118,56 @@ def _kernel(step_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref, gv_ref,
     out_ref[:, 0, :] = out.astype(out_ref.dtype)
 
 
+def _reduce_fns(g, head_dim: int, vector_reduce: bool):
+    """(heads, spread) pair: per-head segmented score reduction
+    [S, D] -> [S, 128] and its transpose broadcast [S', 128] -> [S', D].
+
+    Matmul path: one MXU dot against the 0/1 head-grouping matrix G —
+    burns 2*S*D*128 MACs for H useful lanes (the MXU tile forces 128
+    output columns) but avoids sublane-hostile 3-D reshapes. Vector
+    path: f32 reshape+sum / lane-repeat on the VPU — trades the MXU
+    waste for elementwise work.
+
+    HARDWARE REJECTION (v5e, 2026-08): the vector path does not lower —
+    Mosaic fails with `unsupported shape cast` on the lane-splitting
+    reshape `vector<Sx768xf32> -> vector<Sx12x64xf32>` (the lane dim
+    can only be re-tiled through a relayout Mosaic refuses in-kernel),
+    for BOTH the v2 and v3 kernels. Lowerable alternatives all reduce
+    to either per-head 64-lane cross-lane reduces (~7 serialized vreg
+    ops x 12 heads, worse than the one pipelined MXU dot) or a
+    block-diagonal matmul with identical MAC count to G. The MXU path
+    stays production; vector_reduce is kept interpret-mode-only as the
+    algorithm record (oracle tests pass under interpret=True).
+    """
+    D = g.shape[0]
+    H = D // head_dim
+    if vector_reduce:
+        def heads(x2d):  # [S, D] -> [S, 128], scores in the first H lanes
+            s = jnp.sum(x2d.astype(jnp.float32).reshape(
+                x2d.shape[0], H, head_dim), axis=-1)
+            return jnp.pad(s, ((0, 0), (0, 128 - H)))
+
+        def spread(p):  # [S', 128] -> [S', D]
+            return jnp.repeat(p[:, :H].astype(jnp.bfloat16), head_dim,
+                              axis=-1)
+    else:
+        def heads(x2d):  # [S, D] -> [S, 128] per-head sums via MXU
+            return jax.lax.dot_general(
+                x2d.astype(jnp.bfloat16), g,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def spread(p):  # [S', 128] -> [S', D]
+            return jax.lax.dot_general(
+                p.astype(jnp.bfloat16), g,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    return heads, spread
+
+
 def _kernel_rm(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref,
                gv_ref, g_ref, out_ref, *, beams_per_image: int,
-               head_dim: int, scale: float):
+               head_dim: int, scale: float, vector_reduce: bool = False):
     """v2: row-major [B, L, E, D] caches, pure function (no aliased
     outputs — the slot write is `ops.cache_reorder.write_gen_slot`).
 
@@ -140,11 +187,7 @@ def _kernel_rm(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref,
     k_new = kn_ref[:, 0, :]
     v_new = vn_ref[:, 0, :]
 
-    def heads(x2d):  # [S, D] -> [S, 128] per-head sums via MXU
-        return jax.lax.dot_general(
-            x2d.astype(jnp.bfloat16), g,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    heads, spread = _reduce_fns(g, head_dim, vector_reduce)
 
     sc = heads(q * k_new) * scale                   # current token [TB, 128]
 
@@ -165,12 +208,6 @@ def _kernel_rm(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref,
     e = jnp.exp(scores - m)
     denom = jnp.sum(e, axis=1, keepdims=True)
     probs = e / denom
-
-    def spread(p):  # [S', 128] -> [S', D]
-        return jax.lax.dot_general(
-            p.astype(jnp.bfloat16), g,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
     S_total = K + E + 1
     p_all = spread(probs.reshape(TB * S_total, 128)).reshape(TB, S_total, D)
@@ -288,35 +325,10 @@ def _kernel_rm_chunked(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref,
 
     g = g_ref[:]                                    # [D, 128] bf16
     q = q_ref[:, 0, :]                              # [TB, D]
-    H = D // head_dim
 
-    if vector_reduce:
-        # VPU head reduction/broadcast: the G-matmuls burn
-        # 2*X*D*128 MACs for 12 useful head columns (the MXU tile forces
-        # 128 output lanes) — reshape+sum / lane-repeat trade that for
-        # elementwise VPU work. Scores land in the first H of 128 lanes
-        # (zero elsewhere) to keep the softmax/accumulator shapes
-        # identical to the matmul path.
-        def heads(x2d):  # [S, D] -> [S, 128]
-            s = jnp.sum(x2d.astype(jnp.float32).reshape(
-                x2d.shape[0], H, head_dim), axis=-1)
-            return jnp.pad(s, ((0, 0), (0, 128 - H)))
-
-        def spread(p):  # [S', 128] -> [S', D]
-            return jnp.repeat(p[:, :H].astype(jnp.bfloat16), head_dim,
-                              axis=-1)
-    else:
-        def heads(x2d):  # [S, D] -> [S, 128] per-head sums via MXU
-            return jax.lax.dot_general(
-                x2d.astype(jnp.bfloat16), g,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        def spread(p):  # [S', 128] -> [S', D]
-            return jax.lax.dot_general(
-                p.astype(jnp.bfloat16), g,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    # Scores land in the first H of 128 lanes (zero elsewhere) on both
+    # paths, keeping the softmax/accumulator shapes identical.
+    heads, spread = _reduce_fns(g, head_dim, vector_reduce)
 
     @pl.when(c == 0)
     def _init():
@@ -655,13 +667,15 @@ def beam_decode_attention_rowmajor_q(
 
 @functools.partial(jax.jit,
                    static_argnames=("beams_per_image", "head_dim",
-                                    "block_beams", "interpret"))
+                                    "block_beams", "interpret",
+                                    "vector_reduce"))
 def beam_decode_attention_rowmajor(
         q: jnp.ndarray, k_new: jnp.ndarray, v_new: jnp.ndarray,
         pk: jnp.ndarray, pv: jnp.ndarray, gk: jnp.ndarray, gv: jnp.ndarray,
         step: jnp.ndarray, layer: jnp.ndarray, *, beams_per_image: int,
         head_dim: int, block_beams: int = 20,
-        interpret: bool = False) -> jnp.ndarray:
+        interpret: bool = False,
+        vector_reduce: bool = False) -> jnp.ndarray:
     """Fused decode attention over row-major caches (v2, production).
 
     q/k_new/v_new: [B, D]; pk/pv: [L, N, K, D] (full prefix cache);
@@ -686,7 +700,8 @@ def beam_decode_attention_rowmajor(
     scale = 1.0 / (head_dim ** 0.5)
 
     kernel = functools.partial(_kernel_rm, beams_per_image=R,
-                               head_dim=head_dim, scale=scale)
+                               head_dim=head_dim, scale=scale,
+                               vector_reduce=vector_reduce)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -34,7 +34,7 @@ NEG = -1e30  # python float: jnp scalars would be captured consts in Mosaic
 
 def _kernel(h_ref, w_ref, vals_ref, idx_ref, lse_ref,
             m_ref, l_ref, tv_ref, ti_ref, *, R: int, VC: int, V: int,
-            n_chunks: int):
+            n_chunks: int, merge: str = "rounds"):
     TB, D = h_ref.shape
     c = pl.program_id(1)
 
@@ -53,15 +53,21 @@ def _kernel(h_ref, w_ref, vals_ref, idx_ref, lse_ref,
     gidx = c * VC + jax.lax.broadcasted_iota(jnp.int32, (TB, VC), 1)
     s = jnp.where(gidx < V, s, NEG)                  # mask vocab padding
 
-    # online logsumexp
-    m_old = m_ref[:]
-    m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
-    l_ref[:] = (l_ref[:] * jnp.exp(m_old - m_new)
-                + jnp.sum(jnp.exp(s - m_new), axis=1, keepdims=True))
-    m_ref[:] = m_new
+    if merge == "lanes":
+        tv, ti, m_new, l_new = _chunk_update_lanes(
+            s, c * VC, tv_ref[:], ti_ref[:], m_ref[:], l_ref[:], R=R)
+        m_ref[:] = m_new
+        l_ref[:] = l_new
+    else:
+        # online logsumexp
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+        l_ref[:] = (l_ref[:] * jnp.exp(m_old - m_new)
+                    + jnp.sum(jnp.exp(s - m_new), axis=1, keepdims=True))
+        m_ref[:] = m_new
 
-    # chunk top-R merged against the running top-R (see _topr_update)
-    tv, ti = _topr_update(s, gidx, tv_ref[:], ti_ref[:], R=R)
+        # chunk top-R merged against the running top-R (see _topr_update)
+        tv, ti = _topr_update(s, gidx, tv_ref[:], ti_ref[:], R=R)
     tv_ref[:] = tv
     ti_ref[:] = ti
 
@@ -105,9 +111,100 @@ def _topr_update(s, gidx, run_v, run_i, *, R: int):
     return jnp.concatenate(out_v, axis=1), jnp.concatenate(out_i, axis=1)
 
 
+def _chunk_update_lanes(s, chunk_base, run_v, run_i, m_old, l_old, *,
+                        R: int):
+    """Two-level chunk update: logsumexp + exact top-R merge with all
+    wide reductions restructured around 128-lane column blocks.
+
+    `_topr_update`'s R rounds each max/argmin-REDUCE across the full
+    VC=2048 lane dimension — cross-lane tree reduces plus result
+    re-broadcasts are the slow ops Mosaic serializes (measured ~0.3 ms
+    per round at the beam shape, the kernel's dominant cost). Here:
+
+    * Phase A (per-lane top-R): the [TB, VC] chunk is viewed as
+      VC/128 STATIC 128-wide column slices (natural vreg blocks, no
+      relayout). R rounds of max/argmin fold ACROSS the block list —
+      pure elementwise [TB, 128] ops, zero cross-lane reductions.
+      Candidate-set exactness: a global top-R element x has fewer than
+      R elements above it (by value desc, global-index asc) in its own
+      lane, so x is in its lane's top-R under the same order.
+    * Phase B: one narrow selection over (running-R || R lane arrays) —
+      R+1 column blocks — with exactly TWO 128-wide cross-lane reduces
+      per round (max, then lowest-global-index among equals) instead of
+      the 2048-wide reduces of the flat merge.
+
+    The online logsumexp reuses phase A's lane-max fold for the chunk
+    max and accumulates exp partials blockwise (one 128-wide final sum).
+    Index uniqueness for the tie/mask logic: running entries come from
+    earlier chunks (gidx < chunk_base), lane entries are distinct
+    (g, lane) pairs; pad entries carry value NEG / index 2^30 and are
+    never selected while any real candidate remains.
+    """
+    TB, VC = s.shape
+    G = VC // 128
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, 128), 1)
+    cols = [s[:, g * 128:(g + 1) * 128] for g in range(G)]
+    idxs = [chunk_base + g * 128 + lane for g in range(G)]
+    BIG = jnp.int32(2 ** 30)
+
+    def fold_max(blocks):
+        m = blocks[0]
+        for b in blocks[1:]:
+            m = jnp.maximum(m, b)
+        return m
+
+    def fold_argmin_idx(blocks_v, blocks_i, target):
+        gi = jnp.full((TB, 128), BIG, jnp.int32)
+        for bv, bi in zip(blocks_v, blocks_i):
+            gi = jnp.minimum(gi, jnp.where(bv == target, bi, BIG))
+        return gi
+
+    mlane = fold_max(cols)                           # [TB, 128]
+
+    # --- online logsumexp (blockwise partials; masked-pad cols are NEG
+    # so their exp contribution is exactly 0, same as the flat path) ---
+    m_new = jnp.maximum(m_old, jnp.max(mlane, axis=1, keepdims=True))
+    part = jnp.zeros((TB, 128), jnp.float32)
+    for col in cols:
+        part = part + jnp.exp(col - m_new)
+    l_new = (l_old * jnp.exp(m_old - m_new)
+             + jnp.sum(part, axis=1, keepdims=True))
+
+    # --- phase A: per-lane top-R (values desc, lowest gidx on ties) ---
+    lane_v = []
+    lane_i = []
+    m = mlane
+    for r_ in range(R):
+        gi = fold_argmin_idx(cols, idxs, m)
+        lane_v.append(m)
+        lane_i.append(gi)
+        if r_ < R - 1:
+            cols = [jnp.where(bi == gi, NEG, bv)
+                    for bv, bi in zip(cols, idxs)]
+            m = fold_max(cols)
+
+    # --- phase B: merge running-R with the per-lane candidates --------
+    blocks_v = [jnp.pad(run_v, ((0, 0), (0, 128 - R)),
+                        constant_values=NEG)] + lane_v
+    blocks_i = [jnp.pad(run_i, ((0, 0), (0, 128 - R)),
+                        constant_values=2 ** 30)] + lane_i
+    out_v = []
+    out_i = []
+    for _ in range(R):
+        rowmax = jnp.max(fold_max(blocks_v), axis=1, keepdims=True)
+        gi = fold_argmin_idx(blocks_v, blocks_i, rowmax)
+        rowgi = jnp.min(gi, axis=1, keepdims=True)
+        out_v.append(rowmax)
+        out_i.append(rowgi)
+        blocks_v = [jnp.where((bi == rowgi) & (bv == rowmax), NEG, bv)
+                    for bv, bi in zip(blocks_v, blocks_i)]
+    return (jnp.concatenate(out_v, axis=1),
+            jnp.concatenate(out_i, axis=1), m_new, l_new)
+
+
 def _kernel_vo(h_ref, w_ref, vals_ref, idx_ref, lse_ref,
                m_ref, l_ref, tv_ref, ti_ref, *, R: int, VC: int, V: int,
-               n_chunks: int, TB: int):
+               n_chunks: int, TB: int, merge: str = "rounds"):
     """Vocab-OUTER grid variant: grid = (vocab chunks, batch blocks).
 
     The full [B, D] hidden block has a constant index map (DMA'd into
@@ -136,14 +233,23 @@ def _kernel_vo(h_ref, w_ref, vals_ref, idx_ref, lse_ref,
     gidx = c * VC + jax.lax.broadcasted_iota(jnp.int32, (TB, VC), 1)
     s = jnp.where(gidx < V, s, NEG)                  # mask vocab padding
 
-    # online logsumexp
-    m_old = m_ref[rows, :]
-    m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
-    l_ref[rows, :] = (l_ref[rows, :] * jnp.exp(m_old - m_new)
-                      + jnp.sum(jnp.exp(s - m_new), axis=1, keepdims=True))
-    m_ref[rows, :] = m_new
+    if merge == "lanes":
+        tv, ti, m_new, l_new = _chunk_update_lanes(
+            s, c * VC, tv_ref[rows, :], ti_ref[rows, :], m_ref[rows, :],
+            l_ref[rows, :], R=R)
+        m_ref[rows, :] = m_new
+        l_ref[rows, :] = l_new
+    else:
+        # online logsumexp
+        m_old = m_ref[rows, :]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+        l_ref[rows, :] = (l_ref[rows, :] * jnp.exp(m_old - m_new)
+                          + jnp.sum(jnp.exp(s - m_new), axis=1,
+                                    keepdims=True))
+        m_ref[rows, :] = m_new
 
-    tv, ti = _topr_update(s, gidx, tv_ref[rows, :], ti_ref[rows, :], R=R)
+        tv, ti = _topr_update(s, gidx, tv_ref[rows, :], ti_ref[rows, :],
+                              R=R)
     tv_ref[rows, :] = tv
     ti_ref[rows, :] = ti
 
@@ -156,11 +262,12 @@ def _kernel_vo(h_ref, w_ref, vals_ref, idx_ref, lse_ref,
 
 @functools.partial(jax.jit, static_argnames=("r", "block_rows",
                                              "vocab_chunk", "interpret",
-                                             "vocab_outer"))
+                                             "vocab_outer", "merge"))
 def lm_head_topk(hidden: jnp.ndarray, wte: jnp.ndarray, r: int,
                  block_rows: int = 256, vocab_chunk: int = 2048,
                  interpret: bool = False,
-                 vocab_outer: Optional[bool] = None
+                 vocab_outer: Optional[bool] = None,
+                 merge: Optional[str] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused `top_k(h @ wte^T, r)` + logsumexp.
 
@@ -187,11 +294,25 @@ def lm_head_topk(hidden: jnp.ndarray, wte: jnp.ndarray, r: int,
     NC = pl.cdiv(V, vocab_chunk)
     if vocab_outer is None:
         vocab_outer = False
+    if merge is None:
+        # auto: the two-level lane merge whenever it's expressible (it
+        # needs 128-lane column blocks and r slots within one block).
+        # A/B on v5e at the production vc=2048 decode shapes, 4 runs
+        # (scripts/lm_head_bench.py): beam B=2560/R=5 lanes wins 4/4
+        # (mean 3.08 vs 3.40 ms), greedy B=1024/R=1 wins 3/4 (1.41 vs
+        # 1.66 ms) with visibly lower run-to-run variance — the flat
+        # merge's 2048-wide cross-lane reduces are both slower and
+        # noisier than the lane-blocked folds.
+        merge = "lanes" if (vocab_chunk % 128 == 0 and r < 128) \
+            else "rounds"
+    if merge == "lanes" and (vocab_chunk % 128 or r >= 128):
+        raise ValueError("merge='lanes' requires vocab_chunk % 128 == 0 "
+                         "and r < 128")
 
     if vocab_outer:
         vals, idx, lse = pl.pallas_call(
             functools.partial(_kernel_vo, R=r, VC=vocab_chunk, V=V,
-                              n_chunks=NC, TB=TB),
+                              n_chunks=NC, TB=TB, merge=merge),
             grid=(NC, B // TB),
             in_specs=[
                 pl.BlockSpec((B, D), lambda c, i: (0, 0)),
@@ -218,7 +339,8 @@ def lm_head_topk(hidden: jnp.ndarray, wte: jnp.ndarray, r: int,
         return vals, idx, lse[:, 0]
 
     vals, idx, lse = pl.pallas_call(
-        functools.partial(_kernel, R=r, VC=vocab_chunk, V=V, n_chunks=NC),
+        functools.partial(_kernel, R=r, VC=vocab_chunk, V=V, n_chunks=NC,
+                          merge=merge),
         grid=(B // TB, NC),
         in_specs=[
             pl.BlockSpec((TB, D), lambda i, c: (i, 0)),

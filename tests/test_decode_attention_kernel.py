@@ -393,3 +393,30 @@ def test_chunked_kernel_vector_reduce_matches_oracle(step, layer):
     ref = oracle(q, k_new, v_new, pk[layer], pv[layer], gk[:, layer],
                  gv[:, layer], step, R, hd)
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("step,layer", [(0, 0), (3, 1), (7, 2)])
+def test_rowmajor_kernel_vector_reduce_matches_oracle(step, layer):
+    """v2 one-pass kernel with vector_reduce (shared _reduce_fns VPU
+    path) == the numpy oracle."""
+    from capdec_tpu.ops.decode_attention import beam_decode_attention_rowmajor
+    rng = np.random.RandomState(80 + step)
+    N, R, K, E, D, hd, L = 2, 5, 6, 8, 256, 64, 3
+    B = N * R
+    mk = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
+    q, k_new, v_new = mk(B, D), mk(B, D), mk(B, D)
+    pk, pv = mk(L, N, K, D), mk(L, N, K, D)
+    gk, gv = mk(B, L, E, D), mk(B, L, E, D)
+    gk[:, :, step:] = 0.0
+    gv[:, :, step:] = 0.0
+
+    out = beam_decode_attention_rowmajor(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(pk), jnp.asarray(pv), jnp.asarray(gk), jnp.asarray(gv),
+        jnp.asarray(step, jnp.int32), jnp.asarray(layer, jnp.int32),
+        beams_per_image=R, head_dim=hd, block_beams=R, interpret=True,
+        vector_reduce=True)
+
+    ref = oracle(q, k_new, v_new, pk[layer], pv[layer], gk[:, layer],
+                 gv[:, layer], step, R, hd)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-2, rtol=5e-2)

@@ -93,6 +93,65 @@ def test_ties_across_chunk_boundaries(vocab_outer):
     np.testing.assert_allclose(lse, ol, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("vocab_outer", [False, True])
+def test_lanes_merge_exact(vocab_outer):
+    # two-level lane merge (merge="lanes"): 128-lane column blocks, so
+    # vocab_chunk must be a 128-multiple; ragged vocab exercises the
+    # NEG-padded lanes of the last chunk.
+    rng = np.random.RandomState(7)
+    h = jnp.asarray(rng.randn(8, 32), jnp.float32)
+    w = jnp.asarray(rng.randn(300, 32), jnp.float32)
+    vals, idx, lse = jax.tree.map(
+        np.asarray, lm_head_topk(h, w, 5, block_rows=4, vocab_chunk=128,
+                                 interpret=True, vocab_outer=vocab_outer,
+                                 merge="lanes"))
+    ov, oi, ol = _oracle(h, w, 5)
+    np.testing.assert_array_equal(idx, oi)
+    np.testing.assert_allclose(vals, ov, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(lse, ol, rtol=1e-5, atol=1e-5)
+
+
+def test_lanes_merge_ties_and_r1():
+    # cross-chunk duplicate logits: lowest global index must win each
+    # round under the lane merge's two-level tie-breaking; plus greedy's
+    # R=1 case with a multi-block phase A (vocab_chunk=256 -> G=2).
+    rng = np.random.RandomState(8)
+    base = rng.randn(150, 16)
+    w = jnp.asarray(np.concatenate([base, base[:90], base[:40]]),
+                    jnp.float32)  # 280 rows, duplicates straddle chunks
+    h = jnp.asarray(rng.randn(6, 16), jnp.float32)
+    for r, vc in ((6, 128), (1, 256)):
+        vals, idx, lse = jax.tree.map(
+            np.asarray, lm_head_topk(h, w, r, block_rows=3,
+                                     vocab_chunk=vc, interpret=True,
+                                     merge="lanes"))
+        ov, oi, ol = _oracle(h, w, r)
+        np.testing.assert_array_equal(idx, oi)
+        np.testing.assert_allclose(vals, ov, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(lse, ol, rtol=1e-5, atol=1e-5)
+
+
+def test_lanes_merge_all_equal_logits():
+    # the all-ties worst case: indices must be 0..R-1 like lax.top_k
+    B, V, D, r = 4, 384, 8, 5
+    h = jnp.zeros((B, D), jnp.float32)
+    w = jnp.ones((V, D), jnp.float32)
+    vals, idx, lse = jax.tree.map(
+        np.asarray, lm_head_topk(h, w, r, block_rows=4, vocab_chunk=128,
+                                 interpret=True, merge="lanes"))
+    np.testing.assert_array_equal(idx, np.tile(np.arange(r), (B, 1)))
+    np.testing.assert_array_equal(vals, np.zeros((B, r), np.float32))
+    np.testing.assert_allclose(lse, np.full(B, np.log(V)), rtol=1e-6)
+
+
+def test_lanes_merge_rejects_unaligned_chunk():
+    h = jnp.zeros((4, 8), jnp.float32)
+    w = jnp.ones((64, 8), jnp.float32)
+    with pytest.raises(ValueError):
+        lm_head_topk(h, w, 2, block_rows=4, vocab_chunk=32,
+                     interpret=True, merge="lanes")
+
+
 def test_auto_grid_order_thresholds():
     # auto (None) resolves to the batch-outer grid; the flag only ever
     # changes the grid schedule, never the results
