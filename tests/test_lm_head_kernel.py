@@ -144,6 +144,29 @@ def test_lanes_merge_all_equal_logits():
     np.testing.assert_allclose(lse, np.full(B, np.log(V)), rtol=1e-6)
 
 
+@pytest.mark.parametrize("B,V,D,r,vc,br,seed", [
+    (6, 129, 16, 2, 128, 3, 10),    # last chunk has ONE real column
+    (5, 1024, 24, 7, 256, 5, 11),   # B indivisible by block_rows
+    (4, 100, 8, 4, 128, 4, 12),     # V smaller than one chunk
+    (3, 640, 16, 16, 512, 3, 13),   # r == G (per-lane rounds exhausted)
+    (8, 257, 8, 1, 256, 8, 14),     # greedy R=1, ragged tail chunk
+])
+def test_lanes_merge_shape_stress(B, V, D, r, vc, br, seed):
+    # awkward-shape sweep for the two-level merge: ragged last chunks,
+    # block_rows not dividing B, single-chunk vocab, r at the per-lane
+    # round budget. Low-entropy values force heavy tie traffic.
+    rng = np.random.RandomState(seed)
+    h = jnp.asarray(rng.randint(-2, 3, (B, D)), jnp.float32)
+    w = jnp.asarray(rng.randint(-2, 3, (V, D)), jnp.float32)
+    vals, idx, lse = jax.tree.map(
+        np.asarray, lm_head_topk(h, w, r, block_rows=br, vocab_chunk=vc,
+                                 interpret=True, merge="lanes"))
+    ov, oi, ol = _oracle(h, w, r)
+    np.testing.assert_array_equal(idx, oi)
+    np.testing.assert_allclose(vals, ov, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(lse, ol, rtol=1e-5, atol=1e-5)
+
+
 def test_lanes_merge_rejects_unaligned_chunk():
     h = jnp.zeros((4, 8), jnp.float32)
     w = jnp.ones((64, 8), jnp.float32)
