@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--int8_kv', action='store_true', default=False)
     p.add_argument('--beam_size', type=int, default=5)
     p.add_argument('--entry_length', type=int, default=67)
+    p.add_argument('--mesh', default='',
+                   help="shard each serving batch over a device mesh: "
+                        "'dp' count (e.g. '4'); batch_size must divide "
+                        "by it")
     return p
 
 
@@ -128,10 +132,14 @@ def main(argv=None):
     if args.int8_kv:
         bc = dataclasses.replace(bc, kv_cache_int8=True,
                                  fused_attention=True)
+    mesh = None
+    if args.mesh:
+        from ..parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(dp=int(args.mesh), tp=1)
     cfg = serve_lib.ServeConfig(
         batch_size=args.batch_size, max_wait_s=args.max_wait_s,
         beam=args.beam, normalize_prefix=not args.dont_normalize_prefix,
-        beam_config=bc, topp_config=tc)
+        mesh=mesh, beam_config=bc, topp_config=tc)
     server = serve_lib.CaptionServer(params, model_cfg, tokenizer, cfg)
     print('compiling...', file=sys.stderr, flush=True)
     server.warmup()

@@ -46,6 +46,13 @@ class ServeConfig:
     max_queue: int = 4096
     # Latency samples kept for the percentile report (ring buffer).
     latency_window: int = 100_000
+    # Optional jax.sharding.Mesh: params replicate, every fixed-shape
+    # batch shards over the dp axis (the batch shape never changes, so
+    # unlike the eval runner there is no ragged-batch fallback —
+    # batch_size must divide by dp). Same mechanism as
+    # eval/predictions.py:82-122; decode is embarrassingly parallel
+    # over images.
+    mesh: Optional[Any] = None
     beam_config: BeamConfig = dataclasses.field(default_factory=BeamConfig)
     topp_config: ToppConfig = dataclasses.field(default_factory=ToppConfig)
 
@@ -78,6 +85,17 @@ class CaptionServer:
         self._model_cfg = model_cfg
         self._tokenizer = tokenizer
         self._cfg = cfg
+        self._shard = None
+        if cfg.mesh is not None:
+            from .parallel import mesh as mesh_lib
+            dp = cfg.mesh.shape[mesh_lib.DP_AXIS]
+            if cfg.batch_size % dp:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} must be divisible by "
+                    f"the mesh dp axis ({dp})")
+            self._shard = mesh_lib.batch_sharding(cfg.mesh)
+            self._params = jax.device_put(params,
+                                          mesh_lib.replicated(cfg.mesh))
         self._map_fn = jax.jit(caption_model.map_prefix,
                                static_argnums=(1,))
         self._queue: "queue.Queue[Any]" = queue.Queue(
@@ -107,8 +125,12 @@ class CaptionServer:
         if cfg.normalize_prefix:
             x = _l2norm(x)
         t0 = time.perf_counter()
-        prefix = self._map_fn(self._params, self._model_cfg,
-                              jnp.asarray(x))
+        if self._shard is not None:
+            import jax
+            x_dev = jax.device_put(x, self._shard)
+        else:
+            x_dev = jnp.asarray(x)
+        prefix = self._map_fn(self._params, self._model_cfg, x_dev)
         if cfg.beam:
             toks, lens, scores, order = beam_search(
                 self._params["gpt"], self._model_cfg.gpt2, prefix,

@@ -43,6 +43,29 @@ def test_padding_never_leaks_and_results_match_full_batch(server):
         server.caption(rng.randn(9, TINY.prefix_size).astype(np.float32))
 
 
+def test_mesh_sharded_serving_matches_unsharded(server):
+    """ServeConfig.mesh: the fixed batch shards over dp; captions must be
+    identical to the single-device server (decode is embarrassingly
+    parallel over images). Runs on the 8-virtual-device CPU backend."""
+    from capdec_tpu.parallel import mesh as mesh_lib
+    params = caption_model.init_params(jax.random.PRNGKey(0), TINY)
+    cfg = serve_lib.ServeConfig(
+        batch_size=8, max_wait_s=0.01, mesh=mesh_lib.make_mesh(dp=8, tp=1),
+        beam_config=serve_lib.BeamConfig(beam_size=3, entry_length=6,
+                                         stop_token=-1))
+    srv = serve_lib.CaptionServer(params, TINY, ByteTokenizer(), cfg)
+    rng = np.random.RandomState(0)
+    embeds = rng.randn(8, TINY.prefix_size).astype(np.float32)
+    assert srv.caption(embeds) == server.caption(embeds)
+    # ragged request counts still work — padding fills the fixed shape
+    assert srv.caption(embeds[:5]) == server.caption(embeds)[:5]
+    with pytest.raises(ValueError):
+        serve_lib.CaptionServer(
+            params, TINY, ByteTokenizer(),
+            serve_lib.ServeConfig(batch_size=6,
+                                  mesh=mesh_lib.make_mesh(dp=8, tp=1)))
+
+
 def test_serve_coalesces_and_answers_every_request(server):
     rng = np.random.RandomState(1)
     n = 19  # not a batch multiple: exercises ragged tails
