@@ -77,3 +77,65 @@ def test_predict_parser_int8_kv_flag():
     p = build_parser()
     assert p.parse_args([]).int8_kv is False
     assert p.parse_args(["--int8_kv"]).int8_kv is True
+
+
+def test_parse_corpus_cli_all_modes(tmp_path, capsys):
+    """cli.parse_corpus: the reference's three standalone parser scripts
+    behind one command (parse_karpathy.py, hp_to_coco_format.py,
+    parse_sheikspeare.py)."""
+    from capdec_tpu.cli.parse_corpus import main
+
+    karpathy = {"images": [
+        {"filename": "COCO_val2014_000000000042.jpg", "split": "restval",
+         "sentences": [{"raw": "a dog", "sentid": 1}]},
+        {"filename": "COCO_val2014_000000000043.jpg", "split": "test",
+         "sentences": [{"raw": "a cat", "sentid": 2}]},
+    ]}
+    kpath = tmp_path / "karpathy.json"
+    kpath.write_text(json.dumps(karpathy))
+    out_dir = tmp_path / "annos"
+    main(["karpathy", "--karpathy_json", str(kpath),
+          "--out_dir", str(out_dir)])
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["captions"] == {"train": 1, "test": 1, "val": 0}
+    train = json.loads((out_dir / "train.json").read_text())
+    assert train == [{"image_id": 42, "caption": "a dog", "id": 1}]
+    gt = json.loads((out_dir / "test_metrics_format.json").read_text())
+    assert gt["images"] == [{"id": 43}]
+
+    text = tmp_path / "corpus.txt"
+    text.write_text("Page 1\nThe quick brown fox jumps over the dog.\n"
+                    "Too short.\n")
+    out = tmp_path / "open.json"
+    main(["open_text", "--text", str(text), "--out", str(out)])
+    recs = json.loads(out.read_text())
+    assert len(recs) == 1 and "quick brown fox" in recs[0]["caption"]
+
+    lines = tmp_path / "lines.txt"
+    lines.write_text('"To be, or not to be"\n')
+    out2 = tmp_path / "lines.json"
+    main(["lines", "--text", str(lines), "--out", str(out2)])
+    recs2 = json.loads(out2.read_text())
+    assert recs2[0]["caption"] == "To be or not to be"
+
+
+def test_score_cli_on_parity_fixtures(tmp_path, capsys):
+    """cli.score reproduces eval.metrics.score_predictions on the shipped
+    parity corpus (the reference's external pycocoevalcap step, in-repo)."""
+    from capdec_tpu.cli.score import main
+    from capdec_tpu.eval import metrics
+    from capdec_tpu.eval.pycoco_adapter import load_fixtures
+
+    preds, gt = load_fixtures()
+    ppath, gpath = tmp_path / "p.json", tmp_path / "g.json"
+    ppath.write_text(json.dumps(preds))
+    gpath.write_text(json.dumps(gt))
+    out = tmp_path / "scores.json"
+    main(["--predictions", str(ppath), "--gt", str(gpath),
+          "--out", str(out)])
+    printed = json.loads(capsys.readouterr().out)
+    saved = json.loads(out.read_text())
+    want = metrics.score_predictions(preds, gt)
+    for k, v in want.items():
+        assert abs(printed[k] - v) < 1e-6
+    assert saved == printed
