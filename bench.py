@@ -34,6 +34,7 @@ def main():
     # when this ran last). Same methodology as scripts/chip_roofline.py.
     rng = np.random.RandomState(0)
     peak_flops = 0.0
+    a8 = b8 = out = None
     try:
         a8 = jnp.asarray(rng.randn(8192, 8192), jnp.bfloat16)
         b8 = jnp.asarray(rng.randn(8192, 8192), jnp.bfloat16)
@@ -53,9 +54,12 @@ def main():
             out = mm(a8, b8)
         jax.block_until_ready(out)
         peak_flops = 2 * 8192 ** 3 * 4 / ((time.perf_counter() - t0) / 3)
-        del a8, b8, out
     except Exception:
         pass  # MFU degrades to -1 below
+    finally:
+        # always release the 256 MB of operands — a leak here squeezes
+        # the memory-sensitive decode/train measurements that follow
+        del a8, b8, out
 
     cfg = caption_model.CaptionModelConfig(
         prefix_length=40, clip_length=40, prefix_size=640, num_layers=8,

@@ -59,9 +59,11 @@ def _watch_requests(watch_dir: str, poll_s: float = 0.2,
     A file that fails to load (usually a partial write) is retried on
     later polls up to `max_retries` times, then marked bad and skipped
     for good — a permanently corrupt file cannot spam stderr forever.
-    `seen` keys on (name, mtime) so a rewritten file is served again, and
-    entries whose files were deleted are pruned each poll so the set
-    cannot grow without bound in a long-lived server."""
+    Both `seen` and the retry budget key on (name, mtime) so a
+    REWRITTEN file is served again with a fresh budget (a name-keyed
+    budget would one-strike every later version once exhausted);
+    entries whose files were deleted are pruned each poll so neither
+    map grows without bound in a long-lived server."""
     import numpy as np
     seen = set()
     retries = {}
@@ -81,20 +83,21 @@ def _watch_requests(watch_dir: str, poll_s: float = 0.2,
             try:
                 emb = np.load(path).reshape(-1).astype(np.float32)
             except Exception as e:  # partial write; retry next poll
-                n = retries.get(name, 0) + 1
-                retries[name] = n
+                n = retries.get(key, 0) + 1
+                retries[key] = n
                 if n >= max_retries:
                     seen.add(key)  # give up on this version of the file
+                    retries.pop(key, None)
                     print(f'giving up on {name} after {n} failures: {e}',
                           file=sys.stderr, flush=True)
                 else:
                     print(f'skip {name}: {e}', file=sys.stderr, flush=True)
                 continue
             seen.add(key)
-            retries.pop(name, None)
+            retries.pop(key, None)
             yield path, emb
         seen = {k for k in seen if k[0] in names}
-        retries = {n: c for n, c in retries.items() if n in names}
+        retries = {k: c for k, c in retries.items() if k[0] in names}
         time.sleep(poll_s)
 
 

@@ -126,10 +126,13 @@ def loss_forward(params: Params, cfg: CaptionModelConfig,
 
     B = tokens.shape[0]
     C = cfg.ce_chunk_rows
-    if C and B > C and B % C == 0:
+    if C and B > C:
         # Row-chunked CE under jax.checkpoint: the [B, T, V] logits exist
-        # only one [C, T, V] chunk at a time (forward AND backward — the
-        # chunk's logits are recomputed in the VJP instead of stashed).
+        # only one chunk at a time (forward AND backward — the chunk's
+        # logits are recomputed in the VJP instead of stashed). A batch
+        # that doesn't divide by C runs the B//C full chunks through the
+        # scan plus ONE ragged tail chunk with its own static shape — the
+        # knob is never silently dropped.
         f = jax.checkpoint(nll_sums)
 
         def body(carry, xs):
@@ -137,10 +140,15 @@ def loss_forward(params: Params, cfg: CaptionModelConfig,
             return (carry[0] + s, carry[1] + v), None
 
         T = tokens.shape[1]
-        hid_c = scored.reshape(B // C, C, T, scored.shape[-1])
-        tok_c = tokens.reshape(B // C, C, T)
+        nfull = B // C
+        hid_c = scored[:nfull * C].reshape(nfull, C, T, scored.shape[-1])
+        tok_c = tokens[:nfull * C].reshape(nfull, C, T)
         (s, v), _ = jax.lax.scan(body, (jnp.float32(0.0), jnp.float32(0.0)),
                                  (hid_c, tok_c))
+        if B % C:
+            ts, tv = f(scored[nfull * C:], tokens[nfull * C:])
+            s = s + ts
+            v = v + tv
     else:
         s, v = nll_sums(scored, tokens)
     return s / jnp.maximum(v, 1.0)

@@ -32,21 +32,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30  # python float: jnp scalars would be captured consts in Mosaic
 
 
-def _kernel(h_ref, w_ref, vals_ref, idx_ref, lse_ref,
-            m_ref, l_ref, tv_ref, ti_ref, *, R: int, VC: int, V: int,
-            n_chunks: int, merge: str = "rounds"):
-    TB, D = h_ref.shape
-    c = pl.program_id(1)
-
-    @pl.when(c == 0)
-    def _init():
-        m_ref[:] = jnp.full((TB, 1), NEG, jnp.float32)
-        l_ref[:] = jnp.zeros((TB, 1), jnp.float32)
-        tv_ref[:] = jnp.full((TB, R), NEG, jnp.float32)
-        ti_ref[:] = jnp.zeros((TB, R), jnp.int32)
-
-    h = h_ref[:]                                     # [TB, D]
-    w = w_ref[:]                                     # [VC, D]
+def _fold_chunk(h, w, c, rows, m_ref, l_ref, tv_ref, ti_ref, *, R: int,
+                VC: int, V: int, merge: str):
+    """Shared per-(row-block, vocab-chunk) body of BOTH grid orders:
+    matmul the [TB, VC] score tile, mask vocab padding, fold it into
+    the running (logsumexp, top-R) state at scratch slice `rows`.
+    Returns the updated (top-R values, indices) for the finalize step.
+    Keeping this in one place means a fix to the online-lse or either
+    merge cannot silently diverge between the batch-outer and
+    vocab-outer kernels (their result-identity is test-asserted)."""
+    TB = h.shape[0]
     s = jax.lax.dot_general(
         h, w, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)          # [TB, VC] f32
@@ -55,21 +50,47 @@ def _kernel(h_ref, w_ref, vals_ref, idx_ref, lse_ref,
 
     if merge == "lanes":
         tv, ti, m_new, l_new = _chunk_update_lanes(
-            s, c * VC, tv_ref[:], ti_ref[:], m_ref[:], l_ref[:], R=R)
-        m_ref[:] = m_new
-        l_ref[:] = l_new
+            s, c * VC, tv_ref[rows, :], ti_ref[rows, :], m_ref[rows, :],
+            l_ref[rows, :], R=R)
+        m_ref[rows, :] = m_new
+        l_ref[rows, :] = l_new
     else:
         # online logsumexp
-        m_old = m_ref[:]
+        m_old = m_ref[rows, :]
         m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
-        l_ref[:] = (l_ref[:] * jnp.exp(m_old - m_new)
-                    + jnp.sum(jnp.exp(s - m_new), axis=1, keepdims=True))
-        m_ref[:] = m_new
+        l_ref[rows, :] = (l_ref[rows, :] * jnp.exp(m_old - m_new)
+                          + jnp.sum(jnp.exp(s - m_new), axis=1,
+                                    keepdims=True))
+        m_ref[rows, :] = m_new
 
         # chunk top-R merged against the running top-R (see _topr_update)
-        tv, ti = _topr_update(s, gidx, tv_ref[:], ti_ref[:], R=R)
-    tv_ref[:] = tv
-    ti_ref[:] = ti
+        tv, ti = _topr_update(s, gidx, tv_ref[rows, :], ti_ref[rows, :],
+                              R=R)
+    tv_ref[rows, :] = tv
+    ti_ref[rows, :] = ti
+    return tv, ti
+
+
+def _init_state(rows, m_ref, l_ref, tv_ref, ti_ref, TB: int, R: int):
+    m_ref[rows, :] = jnp.full((TB, 1), NEG, jnp.float32)
+    l_ref[rows, :] = jnp.zeros((TB, 1), jnp.float32)
+    tv_ref[rows, :] = jnp.full((TB, R), NEG, jnp.float32)
+    ti_ref[rows, :] = jnp.zeros((TB, R), jnp.int32)
+
+
+def _kernel(h_ref, w_ref, vals_ref, idx_ref, lse_ref,
+            m_ref, l_ref, tv_ref, ti_ref, *, R: int, VC: int, V: int,
+            n_chunks: int, merge: str = "rounds"):
+    TB, D = h_ref.shape
+    c = pl.program_id(1)
+    rows = pl.ds(0, TB)  # scratch is one batch block wide in this grid
+
+    @pl.when(c == 0)
+    def _init():
+        _init_state(rows, m_ref, l_ref, tv_ref, ti_ref, TB, R)
+
+    _fold_chunk(h_ref[:], w_ref[:], c, rows, m_ref, l_ref, tv_ref,
+                ti_ref, R=R, VC=VC, V=V, merge=merge)
 
     @pl.when(c == n_chunks - 1)
     def _finalize():
@@ -220,38 +241,10 @@ def _kernel_vo(h_ref, w_ref, vals_ref, idx_ref, lse_ref,
 
     @pl.when(c == 0)
     def _init():
-        m_ref[rows, :] = jnp.full((TB, 1), NEG, jnp.float32)
-        l_ref[rows, :] = jnp.zeros((TB, 1), jnp.float32)
-        tv_ref[rows, :] = jnp.full((TB, R), NEG, jnp.float32)
-        ti_ref[rows, :] = jnp.zeros((TB, R), jnp.int32)
+        _init_state(rows, m_ref, l_ref, tv_ref, ti_ref, TB, R)
 
-    h = h_ref[rows, :]                               # [TB, D]
-    w = w_ref[:]                                     # [VC, D]
-    s = jax.lax.dot_general(
-        h, w, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)          # [TB, VC] f32
-    gidx = c * VC + jax.lax.broadcasted_iota(jnp.int32, (TB, VC), 1)
-    s = jnp.where(gidx < V, s, NEG)                  # mask vocab padding
-
-    if merge == "lanes":
-        tv, ti, m_new, l_new = _chunk_update_lanes(
-            s, c * VC, tv_ref[rows, :], ti_ref[rows, :], m_ref[rows, :],
-            l_ref[rows, :], R=R)
-        m_ref[rows, :] = m_new
-        l_ref[rows, :] = l_new
-    else:
-        # online logsumexp
-        m_old = m_ref[rows, :]
-        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
-        l_ref[rows, :] = (l_ref[rows, :] * jnp.exp(m_old - m_new)
-                          + jnp.sum(jnp.exp(s - m_new), axis=1,
-                                    keepdims=True))
-        m_ref[rows, :] = m_new
-
-        tv, ti = _topr_update(s, gidx, tv_ref[rows, :], ti_ref[rows, :],
-                              R=R)
-    tv_ref[rows, :] = tv
-    ti_ref[rows, :] = ti
+    tv, ti = _fold_chunk(h_ref[rows, :], w_ref[:], c, rows, m_ref, l_ref,
+                         tv_ref, ti_ref, R=R, VC=VC, V=V, merge=merge)
 
     @pl.when(c == n_chunks - 1)
     def _finalize():

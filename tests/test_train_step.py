@@ -257,3 +257,11 @@ def test_ce_chunked_matches_single_shot():
                     jax.tree.leaves(g2["clip_project"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+    # batch NOT a multiple of the chunk: full chunks + a ragged tail
+    # chunk (the knob must never be silently dropped)
+    l3, g3 = loss(dataclasses.replace(cfg, ce_chunk_rows=3))
+    np.testing.assert_allclose(float(l1), float(l3), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1["clip_project"]),
+                    jax.tree.leaves(g3["clip_project"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
