@@ -32,12 +32,30 @@ def grow_cache(gen_cache: Any, bigger: Any,
                all_stopped: jnp.ndarray) -> Any:
     """Copy a gen cache into the next stage's larger allocation (leading
     slices at offset 0 in every dim); skipped entirely when every
-    sequence already stopped (the remaining stages no-op)."""
-    return lax.cond(
-        all_stopped,
-        lambda old: bigger,
-        lambda old: jax.tree.map(
-            lambda big, o: lax.dynamic_update_slice(
-                big, o.astype(big.dtype), (0,) * big.ndim),
-            bigger, old),
-        gen_cache)
+    sequence already stopped (the remaining stages no-op).
+
+    `bigger` is used for SHAPES/DTYPES only (pass `init_cache(...)` as
+    before — the zeros become dead code). Each leaf grows via `jnp.pad`
+    (one write pass: copy + zero-fill, vs zeros-fill + copy for a DUS
+    into a fresh allocation), and leaves are CHAINED with an
+    optimization barrier so leaf n+1's new buffer is not live until
+    leaf n's old buffer can be freed. That bounds the growth transient
+    to ~(new + largest old leaf) instead of (new + old) — the
+    allocation spike that OOM'd beam N=640 by 326 MB on a 16 GB chip
+    (docs/PERFORMANCE.md round-3)."""
+    old_leaves, treedef = jax.tree.flatten(gen_cache)
+    big_leaves = jax.tree.leaves(bigger)
+    grown: List[jnp.ndarray] = []
+    for o, big in zip(old_leaves, big_leaves):
+        if grown:
+            # sequence this leaf's growth after the previous one so the
+            # previous OLD leaf is dead before this NEW leaf allocates
+            o, _ = lax.optimization_barrier((o, grown[-1]))
+        pads = [(0, int(b) - int(s)) for b, s in zip(big.shape, o.shape)]
+        grown.append(lax.cond(
+            all_stopped,
+            lambda x, shape=big.shape, dt=big.dtype: jnp.zeros(shape, dt),
+            lambda x, p=tuple(pads), dt=big.dtype: jnp.pad(
+                x.astype(dt), p),
+            o))
+    return jax.tree.unflatten(treedef, grown)
