@@ -1,6 +1,6 @@
 """Headline benchmark: captions/sec/chip at beam=5 on the flagship model.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Setup mirrors the reference's eval hot path (predictions_runner.py:229-232,
 gpt2_prefix_eval.py:50-115): GPT-2 base + TransformerMapper(8L) prefixes of
@@ -11,244 +11,340 @@ disabled so every caption runs the full 67 steps (worst case, conservative).
 `vs_baseline` is measured, not assumed: we time a faithful re-creation of
 the *reference algorithm* on the same chip — batch-1, no KV cache, full
 re-forward over the growing sequence each step — and report the ratio.
+
+CRASH-PROOF STRUCTURE (round-3 postmortem): round 3's single-process bench
+died with RESOURCE_EXHAUSTED on a tiny H2D copy after earlier sections
+fragmented HBM, and the one trailing print lost EVERY measurement. Now each
+section runs in its OWN subprocess (fresh TPU allocator, nothing leaks
+across sections), the parent collects results incrementally with per-section
+try/except + timeouts + smaller-batch fallbacks, and the final JSON emits in
+a `finally:` no matter which sections failed. All diagnostics go to stderr;
+stdout carries exactly the one JSON line.
+
+MEASUREMENT HONESTY (round-4 finding): on the relay-tunneled axon backend,
+`jax.block_until_ready` returns without waiting for remote execution —
+timed loops without a host fetch measure dispatch latency, not compute
+(observed: 0.07 ms/"step" for a GPT-2 forward that takes ~50 ms with a
+real sync). Every timed iteration below therefore (a) ends with a small
+D2H fetch of the result — the only operation that provably waits — and
+(b) uses a DIFFERENT input buffer, so no cache/memo layer anywhere in the
+stack can serve a repeat. For the naive reference baseline the per-step
+host sync is also faithful: the reference's beam loop syncs every step
+(`if is_stopped.all(): break`, gpt2_prefix_eval.py:108).
 """
+import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
-def main():
+
+# ---------------------------------------------------------------------------
+# Section implementations — each runs inside a child process.
+# ---------------------------------------------------------------------------
+
+def _jax_init():
     from capdec_tpu.utils.jax_setup import setup_jax
     setup_jax()
     import jax
+    return jax
+
+
+def _flagship_cfg(only_prefix: bool = False):
+    import jax.numpy as jnp
+    from capdec_tpu.models import caption_model, gpt2
+    return caption_model.CaptionModelConfig(
+        prefix_length=40, clip_length=40, prefix_size=640, num_layers=8,
+        mapping_type="transformer", only_prefix=only_prefix,
+        gpt2=gpt2.GPT2Config(compute_dtype=jnp.bfloat16))
+
+
+def section_peak(args):
+    """Chip's achievable bf16 matmul peak (denominator for the MFU figure).
+
+    Runs on an empty chip (own process): the two 8192^2 operands need a
+    contiguous 256 MB which a fragmented allocator may not carve out —
+    exactly the r3 failure mode, now structurally impossible.
+    """
+    jax = _jax_init()
     import jax.numpy as jnp
 
-    from capdec_tpu.decode import BeamConfig, beam_search
+    rng = np.random.RandomState(0)
+    a8 = jnp.asarray(rng.randn(8192, 8192), jnp.bfloat16)
+    b8 = jnp.asarray(rng.randn(8192, 8192), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a, b, seed):
+        def body(s, _):
+            out = jnp.dot(a + (s * 1e-30).astype(a.dtype), b,
+                          preferred_element_type=jnp.float32)
+            return out.sum() * 1e-30, None
+        # carry starts at `seed` so every timed call computes on distinct
+        # operand values (the 1e-30 perturbation never changes bf16 bits,
+        # but no layer can prove that without running the matmuls).
+        # 128 chained matmuls (~0.7 s) amortize the ~30 ms relay RTT of
+        # the per-call D2H sync to <5%.
+        s, _ = jax.lax.scan(body, seed, None, length=128)
+        return s
+
+    float(mm(a8, b8, jnp.float32(-1.0)))  # compile + first run, synced
+    t0 = time.perf_counter()
+    iters = 3
+    for i in range(iters):
+        float(mm(a8, b8, jnp.float32(i)))  # D2H fetch = honest sync
+    peak = 2 * 8192 ** 3 * 128 / ((time.perf_counter() - t0) / iters)
+    return {"peak_flops": peak}
+
+
+def section_naive_decode(args):
+    """Reference-algorithm decode baseline on the same chip: batch-1,
+    beam-5, no KV cache — re-forward the full growing sequence every step
+    (gpt2_prefix_eval.py:76) at the mean decode length. The per-step D2H
+    fetch is part of the reference algorithm: its loop host-syncs every
+    step on `is_stopped.all()` (gpt2_prefix_eval.py:108)."""
+    jax = _jax_init()
+    import jax.numpy as jnp
     from capdec_tpu.models import caption_model, gpt2
 
-    # --- chip's achievable bf16 matmul peak (for the MFU figure below) ------
-    # Measured FIRST, on an empty chip: the two 8192^2 operands need a
-    # contiguous 256 MB which the allocator could not always carve out
-    # after the train sweep's near-OOM batches (observed RESOURCE_EXHAUSTED
-    # when this ran last). Same methodology as scripts/chip_roofline.py.
-    rng = np.random.RandomState(0)
-    peak_flops = 0.0
-    a8 = b8 = out = None
-    try:
-        a8 = jnp.asarray(rng.randn(8192, 8192), jnp.bfloat16)
-        b8 = jnp.asarray(rng.randn(8192, 8192), jnp.bfloat16)
-
-        @jax.jit
-        def mm(a, b):
-            def body(s, _):
-                out = jnp.dot(a + (s * 1e-30).astype(a.dtype), b,
-                              preferred_element_type=jnp.float32)
-                return out.sum() * 1e-30, None
-            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=4)
-            return s
-
-        jax.block_until_ready(mm(a8, b8))
-        t0 = time.perf_counter()
-        for _ in range(3):
-            out = mm(a8, b8)
-        jax.block_until_ready(out)
-        peak_flops = 2 * 8192 ** 3 * 4 / ((time.perf_counter() - t0) / 3)
-    except Exception:
-        pass  # MFU degrades to -1 below
-    finally:
-        # always release the 256 MB of operands — a leak here squeezes
-        # the memory-sensitive decode/train measurements that follow
-        del a8, b8, out
-
-    cfg = caption_model.CaptionModelConfig(
-        prefix_length=40, clip_length=40, prefix_size=640, num_layers=8,
-        mapping_type="transformer",
-        gpt2=gpt2.GPT2Config(compute_dtype=jnp.bfloat16))
+    cfg = _flagship_cfg()
     params = caption_model.init_params(jax.random.PRNGKey(0), cfg)
-
-    # Images per decode batch. Measured (chunked-write config, caps/s):
-    # 128 -> 219, 256 -> 225, 384 -> 227, 512 -> 232, 640 -> HBM OOM
-    # (the stage-growth copy holds old+new caches briefly).
-    N = 512
-    rng = np.random.RandomState(0)
-    clip_embeds = jnp.asarray(rng.randn(N, cfg.prefix_size), jnp.float32)
-    map_fn = jax.jit(caption_model.map_prefix, static_argnums=(1,))
-    prefix_embeds = map_fn(params, cfg, clip_embeds)
-    jax.block_until_ready(prefix_embeds)
-    # stop disabled: every caption runs the full 67 steps (worst case).
-    bc = BeamConfig(beam_size=5, entry_length=67, stop_token=-1)
-
-    # --- our engine ---------------------------------------------------------
-    def run():
-        toks, lens, scores, order = beam_search(params["gpt"], cfg.gpt2,
-                                                prefix_embeds, bc)
-        jax.block_until_ready(toks)
-
-    run()  # compile (persistent-cache backed)
-    t0 = time.perf_counter()
-    iters = 5
-    for _ in range(iters):
-        run()
-    dt = (time.perf_counter() - t0) / iters
-    captions_per_sec = N / dt
-
-    # --- opt-in int8 KV cache (serving knob; not token-identical) -----------
-    import dataclasses
-    bc_q = dataclasses.replace(bc, kv_cache_int8=True, fused_attention=True)
-
-    def run_q():
-        toks, *_ = beam_search(params["gpt"], cfg.gpt2, prefix_embeds, bc_q)
-        jax.block_until_ready(toks)
-
-    run_q()  # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        run_q()
-    int8_caps = N / ((time.perf_counter() - t0) / iters)
-
-    # --- reference-algorithm baseline on the same chip ----------------------
-    # batch-1, beam-5, no KV cache: re-forward the full growing sequence
-    # every step (gpt2_prefix_eval.py:76) at the mean decode length.
-    # Params are passed as jit args (closure capture would bake 124M
-    # constants into the HLO).
     E = 67
 
     @jax.jit
     def naive_step(p, embeds):
         return gpt2.forward(p, cfg.gpt2, embeds)[:, -1, :]
 
-    seq = jnp.asarray(rng.randn(5, cfg.prefix_length + E // 2, 768),
-                      jnp.float32)
-    jax.block_until_ready(naive_step(params["gpt"], seq))  # compile
+    rng = np.random.RandomState(0)
+    seqs = [jnp.asarray(rng.randn(5, cfg.prefix_length + E // 2, 768),
+                        jnp.float32) for _ in range(10)]
+    np.asarray(naive_step(params["gpt"], seqs[0]))  # compile, synced
     t0 = time.perf_counter()
-    for _ in range(10):
-        jax.block_until_ready(naive_step(params["gpt"], seq))
-    step_t = (time.perf_counter() - t0) / 10
-    baseline_captions_per_sec = 1.0 / (step_t * E)
+    for seq in seqs:  # distinct input every step: no memo can serve it
+        np.asarray(naive_step(params["gpt"], seq)[0, :1])
+    step_t = (time.perf_counter() - t0) / len(seqs)
+    return {"baseline_captions_per_sec": 1.0 / (step_t * E)}
 
-    ratio = captions_per_sec / baseline_captions_per_sec
 
-    # --- greedy/top-p decode (reference generate2 path) ---------------------
+def section_beam(args):
+    """Beam-5 full-67-step decode throughput at batch `--n`.
+
+    --int8 switches on the opt-in int8 KV cache (serving knob, not
+    token-identical). --slot-chunks/--cache-stages select the chunked
+    fused-attention kernel (v3) + single full-size cache configuration.
+    """
+    jax = _jax_init()
+    import dataclasses
+    import jax.numpy as jnp
+    from capdec_tpu.decode import BeamConfig, beam_search
+    from capdec_tpu.models import caption_model
+
+    cfg = _flagship_cfg()
+    params = caption_model.init_params(jax.random.PRNGKey(0), cfg)
+    N = args.n
+    iters = 5
+    rng = np.random.RandomState(0)
+    map_fn = jax.jit(caption_model.map_prefix, static_argnums=(1,))
+    # one distinct device-resident prefix batch per timed iteration
+    prefixes = []
+    for _ in range(iters):
+        p = map_fn(params, cfg,
+                   jnp.asarray(rng.randn(N, cfg.prefix_size), jnp.float32))
+        np.asarray(p[0, 0, :1])  # sync the H2D+map out of the timed region
+        prefixes.append(p)
+
+    # stop disabled: every caption runs the full 67 steps (worst case).
+    bc = BeamConfig(beam_size=5, entry_length=67, stop_token=-1)
+    if args.int8:
+        bc = dataclasses.replace(bc, kv_cache_int8=True, fused_attention=True)
+    if args.slot_chunks:
+        bc = dataclasses.replace(bc, fused_slot_chunks=args.slot_chunks,
+                                 cache_stages=args.cache_stages,
+                                 fused_attention=True)
+    if args.block_beams:
+        bc = dataclasses.replace(bc, fused_block_beams=args.block_beams)
+
+    def run(prefix_embeds):
+        toks, lens, scores, order = beam_search(params["gpt"], cfg.gpt2,
+                                                prefix_embeds, bc)
+        np.asarray(toks[0, 0, :1])  # D2H fetch = honest sync
+
+    run(prefixes[0])  # compile (persistent-cache backed)
+    t0 = time.perf_counter()
+    for p in prefixes:
+        run(p)
+    dt = (time.perf_counter() - t0) / iters
+    return {"captions_per_sec": N / dt, "n": N}
+
+
+def section_greedy(args):
+    """Greedy/top-p decode (reference generate2 path) at batch `--ng`."""
+    jax = _jax_init()
+    import jax.numpy as jnp
     from capdec_tpu.decode.topp import ToppConfig, greedy_topp_search
-    # measured (staged cache growth): 256 -> ~1070, 512 -> ~1207,
-    # 1024 -> ~1470, 2048 -> ~913 (HBM pressure)
-    NG = 1024
-    greedy_prefix = map_fn(params, cfg,
-                           jnp.asarray(rng.randn(NG, cfg.prefix_size),
-                                       jnp.float32))
+    from capdec_tpu.models import caption_model
+
+    cfg = _flagship_cfg()
+    params = caption_model.init_params(jax.random.PRNGKey(0), cfg)
+    NG = args.ng
+    iters = 5
+    rng = np.random.RandomState(0)
+    map_fn = jax.jit(caption_model.map_prefix, static_argnums=(1,))
+    prefixes = []
+    for _ in range(iters):
+        p = map_fn(params, cfg,
+                   jnp.asarray(rng.randn(NG, cfg.prefix_size), jnp.float32))
+        np.asarray(p[0, 0, :1])
+        prefixes.append(p)
     tc = ToppConfig(entry_length=67, stop_token=-1, extra_stop_token=-1)
 
-    def run_greedy():
+    def run(greedy_prefix):
         toks, _ = greedy_topp_search(params["gpt"], cfg.gpt2, greedy_prefix,
                                      tc)
         np.asarray(toks[0, 0])  # honest D2H sync
 
-    run_greedy()  # compile
+    run(prefixes[0])  # compile
     t0 = time.perf_counter()
-    for _ in range(5):
-        run_greedy()
-    greedy_caps = NG / ((time.perf_counter() - t0) / 5)
+    for p in prefixes:
+        run(p)
+    return {"greedy_captions_per_sec":
+            NG / ((time.perf_counter() - t0) / iters),
+            "ng": NG}
 
-    # --- training throughput (VERDICT r1 item 6) ----------------------------
-    # Ours: ONE fused jitted step (noise -> forward -> CE -> AdamW), donated
-    # state, device-resident batch. Reference-algorithm baseline on the SAME
-    # chip: the reference's per-step structure (train.py:344-356) — fresh
-    # host batch copied in, forward/backward and optimizer as separate
-    # dispatches, loss synced to host every step for the tqdm postfix.
+
+def section_train(args):
+    """Training throughput: the reference bs=30 contract (train.py:419 COCO
+    preset) plus the throughput-optimal batch, and MFU at that batch (XLA
+    cost-analysis FLOPs over the chip's measured bf16 matmul peak, passed
+    in via --peak-flops from the `peak` section)."""
+    jax = _jax_init()
+    import jax.numpy as jnp
+    from capdec_tpu.models import caption_model
     from capdec_tpu.train import optim as optim_lib
     from capdec_tpu.train import step as step_lib
 
     T = 40
-    cfg_t = caption_model.CaptionModelConfig(
-        prefix_length=40, clip_length=40, prefix_size=640, num_layers=8,
-        mapping_type="transformer", only_prefix=True,
-        gpt2=gpt2.GPT2Config(compute_dtype=jnp.bfloat16))
+    cfg_t = _flagship_cfg(only_prefix=True)
     params_t = caption_model.init_params(jax.random.PRNGKey(1), cfg_t)
     tx = optim_lib.make_optimizer(
         2e-5, warmup_steps=5000, total_steps=100000,
         trainable_mask=caption_model.trainable_mask(params_t, cfg_t))
-    # separate copy for the baseline below: the fused step DONATES its
-    # state, deleting these buffers
-    p_ref = jax.tree.map(lambda a: a.copy(), params_t)
-    o_ref = tx.init(p_ref)
     multi_step = step_lib.make_train_multi_step(
         cfg_t, tx, step_lib.NoiseConfig(variance=0.016))
     key = jax.random.PRNGKey(2)
+    rng = np.random.RandomState(0)
 
     def measure_train(bs, K=16):
-        """Sustained-training samples/s at batch `bs`: K steps per
-        compiled dispatch (lax.scan, bit-identical to K single steps —
-        see train/step.py). Returns (samples/s, model FLOPs per step
-        from XLA's cost analysis, or 0.0 if unavailable)."""
+        """Sustained-training samples/s at batch `bs`: K steps per compiled
+        dispatch (lax.scan, bit-identical to K single steps — train/step.py).
+        Returns (samples/s, model FLOPs per step from XLA cost analysis).
+
+        Two sync protocols (relay `block_until_ready` is a no-op, see
+        module docstring): (a) fetch one loss element per dispatch, (b)
+        chain all dispatches through the donated state (device-side data
+        dependency serializes them) and fetch once at the end. Both are
+        honest — (b) matches a real training loop that only reads losses
+        at logging cadence; report the better one."""
+        batches = []
+        for _ in range(2):  # distinct batch per dispatch, alternating
+            b = {
+                "tokens": np.asarray(rng.randint(1, 50257, (bs, T)),
+                                     np.int32),
+                "mask": np.ones((bs, 80), np.float32),
+                "prefix": np.asarray(rng.randn(bs, 640), np.float32),
+            }
+            batches.append({k: jnp.asarray(np.broadcast_to(v, (K,) + v.shape))
+                            for k, v in b.items()})
         state = step_lib.init_train_state(
             jax.tree.map(lambda a: a.copy(), params_t), tx)
-        batch = {
-            "tokens": np.asarray(rng.randint(1, 50257, (bs, T)), np.int32),
-            "mask": np.ones((bs, 80), np.float32),
-            "prefix": np.asarray(rng.randn(bs, 640), np.float32),
-        }
-        stacked = {k: jnp.asarray(np.broadcast_to(v, (K,) + v.shape))
-                   for k, v in batch.items()}
         flops = 0.0
         try:
-            cost = (multi_step.lower(state, stacked, key).compile()
+            cost = (multi_step.lower(state, batches[0], key).compile()
                     .cost_analysis())
             if cost:
                 c = cost[0] if isinstance(cost, (list, tuple)) else cost
                 flops = float(c.get("flops", 0.0)) / K
         except Exception:
             pass
-        state, _ = multi_step(state, stacked, key)  # compile
-        jax.block_until_ready(state["step"])
-        iters = 5
+        state, losses = multi_step(state, batches[0], key)  # compile
+        float(losses[-1])
+        iters = 4
+        # protocol (a): per-dispatch loss fetch
         t0 = time.perf_counter()
-        for _ in range(iters):
-            state, losses = multi_step(state, stacked, key)
-        jax.block_until_ready(losses)
-        return bs * K / ((time.perf_counter() - t0) / iters), flops
+        for i in range(iters):
+            state, losses = multi_step(state, batches[i % 2], key)
+            float(losses[-1])
+        sps_a = bs * K * iters / (time.perf_counter() - t0)
+        # protocol (b): chained dispatches, one final fetch
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, losses = multi_step(state, batches[i % 2], key)
+        float(losses[-1])
+        sps_b = bs * K * iters / (time.perf_counter() - t0)
+        del state, batches, losses
+        return max(sps_a, sps_b), flops
 
-    # reference bs=30 contract (train.py:419 COCO preset)
     train_sps, contract_flops = measure_train(30)
-    # throughput-optimal batch (VERDICT r2: show the TPU-appropriate
-    # number alongside the parity contract). Measured sweep (v5e,
-    # scripts/train_scaling.py): bs=30 1533, bs=120 1715 (knee),
-    # bs=256 1524, bs=512 HBM-OOM (23.2 G > 15.75 G; chunked-remat CE
-    # doesn't save it — the layer-activation stash dominates);
-    # ce_chunk_rows=64 at bs=256 measured SLOWER (1459). Guarded so an
+    out = {"train_samples_per_sec_contract": train_sps}
+    # Throughput-optimal batch (VERDICT r2: show the TPU-appropriate number
+    # alongside the parity contract). Measured knee bs=120 on v5e
+    # (scripts/train_scaling.py); 256 is slower, 512 OOMs. Guarded so an
     # OOM on a different chip degrades to the contract number.
     best_sps, best_bs, best_flops = train_sps, 30, contract_flops
-    for bs_opt in (120, 256):
-        try:
-            sps, flops = measure_train(bs_opt, K=8)
-        except Exception:
-            continue
-        if sps > best_sps:
-            best_sps, best_bs, best_flops = sps, bs_opt, flops
-
-    # MFU at the optimal batch: model FLOPs per step (XLA cost analysis)
-    # over step time, against the chip's MEASURED big-matmul bf16 peak
-    # (computed at the top of main on an empty chip) — the achievable
-    # ceiling, not the datasheet number.
-    if best_flops > 0 and peak_flops > 0:
+    if not args.contract_only:
+        for bs_opt in (120, 256):
+            try:
+                sps, flops = measure_train(bs_opt, K=8)
+            except Exception as e:
+                print(f"train bs={bs_opt} failed: {e!r}", file=sys.stderr)
+                continue
+            if sps > best_sps:
+                best_sps, best_bs, best_flops = sps, bs_opt, flops
+    out.update(train_samples_per_sec_best=best_sps, train_best_batch=best_bs)
+    if best_flops > 0 and args.peak_flops > 0:
         step_t_best = best_bs / best_sps
-        train_mfu = best_flops / step_t_best / peak_flops
+        out["train_mfu_best"] = best_flops / step_t_best / args.peak_flops
+        out["train_model_flops_per_step"] = best_flops
     else:
-        train_mfu = -1.0  # cost analysis unavailable on this backend
+        out["train_mfu_best"] = -1.0  # cost analysis unavailable
+    return out
 
-    # reference-structure baseline: separate grad/update dispatches,
-    # per-step H2D + loss.item() sync, at the reference's bs=30 contract
+
+def section_train_baseline(args):
+    """Reference-structure training baseline on the SAME chip: the
+    reference's per-step structure (train.py:344-356) — fresh host batch
+    copied in every step, forward/backward and optimizer as separate jit
+    dispatches, loss synced to host each step for the tqdm postfix."""
+    jax = _jax_init()
+    import jax.numpy as jnp
     import optax
+    from capdec_tpu.models import caption_model
+    from capdec_tpu.ops import noise as noise_ops
+    from capdec_tpu.train import optim as optim_lib
+
+    T = 40
+    cfg_t = _flagship_cfg(only_prefix=True)
+    p_ref = caption_model.init_params(jax.random.PRNGKey(1), cfg_t)
+    tx = optim_lib.make_optimizer(
+        2e-5, warmup_steps=5000, total_steps=100000,
+        trainable_mask=caption_model.trainable_mask(p_ref, cfg_t))
+    o_ref = tx.init(p_ref)
+    key = jax.random.PRNGKey(2)
+    rng = np.random.RandomState(0)
 
     bs = 30
-    host_batch = {
+    iters_b = 10
+    host_batches = [{
         "tokens": np.asarray(rng.randint(1, 50257, (bs, T)), np.int32),
         "mask": np.ones((bs, 80), np.float32),
         "prefix": np.asarray(rng.randn(bs, 640), np.float32),
-    }
+    } for _ in range(iters_b)]
 
     def loss_fn(p, b, k):
-        from capdec_tpu.ops import noise as noise_ops
         prefix = noise_ops.noise_injection(k, b["prefix"], variance=0.016)
         logits = caption_model.forward(p, cfg_t, b["tokens"], prefix,
                                        b["mask"])
@@ -257,37 +353,181 @@ def main():
     grad_step = jax.jit(jax.value_and_grad(loss_fn))
     upd_step = jax.jit(lambda g, o, p: tx.update(g, o, p))
     app_step = jax.jit(optax.apply_updates)
-    b_dev = {k: jnp.asarray(v) for k, v in host_batch.items()}
+    b_dev = {k: jnp.asarray(v) for k, v in host_batches[0].items()}
     l, g = grad_step(p_ref, b_dev, key)
     u, o_ref = upd_step(g, o_ref, p_ref)
     p_ref = app_step(p_ref, u)
-    jax.block_until_ready(l)
-    iters_b = 10
-    t0 = time.perf_counter()
-    for _ in range(iters_b):
-        b_dev = {k: jnp.asarray(v) for k, v in host_batch.items()}  # H2D
-        l, g = grad_step(p_ref, b_dev, key)
-        u, o_ref = upd_step(g, o_ref, p_ref)
-        p_ref = app_step(p_ref, u)
-        float(l)  # per-step host sync (reference train.py:356 loss.item())
-    baseline_train_sps = bs / ((time.perf_counter() - t0) / iters_b)
+    float(l)  # compile all three dispatches, synced
+    # protocol (a): faithful reference structure incl. per-step loss.item()
+    # (train.py:356). Over the relay that sync costs an RTT the reference
+    # never paid on a local GPU, so we ALSO time (b) without it (steps
+    # still serialized by the params data dependency, one final fetch) and
+    # report the FASTER baseline — conservative for our vs-baseline ratio.
+    sps = []
+    for fetch_each in (True, False):
+        t0 = time.perf_counter()
+        for hb in host_batches:
+            b_dev = {k: jnp.asarray(v) for k, v in hb.items()}  # H2D
+            l, g = grad_step(p_ref, b_dev, key)
+            u, o_ref = upd_step(g, o_ref, p_ref)
+            p_ref = app_step(p_ref, u)
+            if fetch_each:
+                float(l)  # per-step host sync (reference loss.item())
+        float(l)
+        sps.append(bs / ((time.perf_counter() - t0) / iters_b))
+    return {"baseline_train_sps": max(sps)}
 
-    print(json.dumps({
-        "metric": "captions_per_sec_per_chip_beam5",
-        "value": round(captions_per_sec, 2),
-        "unit": "captions/s",
-        "vs_baseline": round(ratio, 2),
-        "int8_kv_captions_per_sec": round(int8_caps, 1),
-        "greedy_captions_per_sec": round(greedy_caps, 1),
-        "train_samples_per_sec": round(train_sps, 1),
-        "train_samples_per_sec_contract": round(train_sps, 1),
-        "train_samples_per_sec_best": round(best_sps, 1),
-        "train_best_batch": best_bs,
-        "train_mfu_best": round(train_mfu, 3),
-        "measured_peak_tflops": round(peak_flops / 1e12, 1),
-        "train_vs_baseline": round(train_sps / baseline_train_sps, 2),
-    }))
+
+_SECTIONS = {
+    "peak": section_peak,
+    "naive_decode": section_naive_decode,
+    "beam": section_beam,
+    "greedy": section_greedy,
+    "train": section_train,
+    "train_baseline": section_train_baseline,
+}
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator (parent process) — never imports jax, never crashes.
+# ---------------------------------------------------------------------------
+
+def _run_section(name, extra=(), timeout=1800):
+    """Run one section in a child process; return (result_dict | None, err)."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--section", name,
+           *map(str, extra)]
+    print(f"[bench] {' '.join(cmd[1:])}", file=sys.stderr)
+    t0 = time.perf_counter()
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout, cwd=_REPO)
+    except subprocess.TimeoutExpired:
+        return None, f"{name}: timeout after {timeout}s"
+    except Exception as e:  # pragma: no cover - defensive
+        return None, f"{name}: {e!r}"
+    if res.stderr:
+        sys.stderr.write(res.stderr[-4000:])
+    dt = time.perf_counter() - t0
+    if res.returncode != 0:
+        return None, f"{name}: rc={res.returncode}"
+    for line in reversed(res.stdout.strip().splitlines()):
+        try:
+            out = json.loads(line)
+            print(f"[bench] {name} ok in {dt:.0f}s: {line}", file=sys.stderr)
+            return out, None
+        except ValueError:
+            continue
+    return None, f"{name}: no JSON line in child stdout"
+
+
+def main():
+    out = {"metric": "captions_per_sec_per_chip_beam5", "value": -1.0,
+           "unit": "captions/s", "vs_baseline": -1.0}
+    failed = []
+
+    def note(err):
+        if err:
+            failed.append(err)
+            print(f"[bench] FAILED: {err}", file=sys.stderr)
+
+    try:
+        # 1. matmul peak (MFU denominator) — empty chip, own process.
+        peak, err = _run_section("peak", timeout=900)
+        note(err)
+        peak_flops = (peak or {}).get("peak_flops", 0.0)
+        if peak_flops:
+            out["measured_peak_tflops"] = round(peak_flops / 1e12, 1)
+
+        # 2. reference-algorithm decode baseline (tiny memory, cheap).
+        naive, err = _run_section("naive_decode", timeout=900)
+        note(err)
+
+        # 3. exact-path beam headline, with smaller-batch fallbacks.
+        beam = None
+        for n in (512, 384, 256, 128):
+            beam, err = _run_section("beam", ("--n", n))
+            if beam:
+                break
+            note(err)
+        if beam:
+            out["value"] = round(beam["captions_per_sec"], 2)
+            out["beam_batch"] = beam["n"]
+        if beam and naive:
+            out["vs_baseline"] = round(
+                beam["captions_per_sec"] / naive["baseline_captions_per_sec"],
+                2)
+
+        # 4. opt-in int8 KV cache (serving knob; not token-identical).
+        for n in (512, 256):
+            int8, err = _run_section("beam", ("--n", n, "--int8"))
+            if int8:
+                out["int8_kv_captions_per_sec"] = round(
+                    int8["captions_per_sec"], 1)
+                out["int8_beam_batch"] = int8["n"]
+                break
+            note(err)
+
+        # 5. greedy/top-p path.
+        for ng in (1024, 512):
+            greedy, err = _run_section("greedy", ("--ng", ng))
+            if greedy:
+                out["greedy_captions_per_sec"] = round(
+                    greedy["greedy_captions_per_sec"], 1)
+                break
+            note(err)
+
+        # 6. training throughput + MFU.
+        train, err = _run_section(
+            "train", ("--peak-flops", peak_flops), timeout=2400)
+        if not train:
+            note(err)
+            train, err = _run_section(
+                "train", ("--peak-flops", peak_flops, "--contract-only"),
+                timeout=2400)
+            note(err)
+        if train:
+            sps = train["train_samples_per_sec_contract"]
+            out["train_samples_per_sec"] = round(sps, 1)
+            out["train_samples_per_sec_contract"] = round(sps, 1)
+            out["train_samples_per_sec_best"] = round(
+                train["train_samples_per_sec_best"], 1)
+            out["train_best_batch"] = train["train_best_batch"]
+            out["train_mfu_best"] = round(train["train_mfu_best"], 3)
+
+        # 7. reference-structure training baseline.
+        tb, err = _run_section("train_baseline", timeout=1200)
+        note(err)
+        if train and tb:
+            out["train_vs_baseline"] = round(
+                train["train_samples_per_sec_contract"]
+                / tb["baseline_train_sps"], 2)
+    except Exception as e:  # pragma: no cover - defensive
+        failed.append(f"orchestrator: {e!r}")
+    finally:
+        if failed:
+            out["sections_failed"] = failed
+        print(json.dumps(out))
+        sys.stdout.flush()
+
+
+def _child():
+    p = argparse.ArgumentParser()
+    p.add_argument("--section", required=True, choices=sorted(_SECTIONS))
+    p.add_argument("--n", type=int, default=512)
+    p.add_argument("--ng", type=int, default=1024)
+    p.add_argument("--int8", action="store_true")
+    p.add_argument("--slot-chunks", type=int, default=0)
+    p.add_argument("--cache-stages", type=int, default=1)
+    p.add_argument("--block-beams", type=int, default=0)
+    p.add_argument("--peak-flops", type=float, default=0.0)
+    p.add_argument("--contract-only", action="store_true")
+    args = p.parse_args()
+    result = _SECTIONS[args.section](args)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if "--section" in sys.argv:
+        _child()
+    else:
+        main()

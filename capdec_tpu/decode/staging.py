@@ -44,7 +44,12 @@ def grow_cache(gen_cache: Any, bigger: Any,
     allocation spike that OOM'd beam N=640 by 326 MB on a 16 GB chip
     (docs/PERFORMANCE.md round-3)."""
     old_leaves, treedef = jax.tree.flatten(gen_cache)
-    big_leaves = jax.tree.leaves(bigger)
+    big_leaves, big_treedef = jax.tree.flatten(bigger)
+    # a silent zip() mispair on structural drift would grow the wrong
+    # leaves without error (ADVICE r3) — fail loudly like tree.map would
+    assert treedef == big_treedef, (
+        f"gen_cache/bigger pytree structures differ: {treedef} vs "
+        f"{big_treedef}")
     grown: List[jnp.ndarray] = []
     for o, big in zip(old_leaves, big_leaves):
         if grown:
