@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write the scores JSON here")
     p.add_argument("--pycoco", action="store_true", default=False,
                    help="cross-check through pycocoevalcap if installed")
+    p.add_argument("--meteor_synonyms", default="",
+                   help="synset file (one synset per line) enabling "
+                        "METEOR's synonym matcher stage; the output's "
+                        "METEOR_variant tag records whether it ran")
     return p
 
 
@@ -49,8 +53,11 @@ def main(argv=None):
         preds = json.load(f)
     with open(args.gt) as f:
         gt = json.load(f)
-    scores = metrics.score_predictions(preds, gt)
-    result = {k: round(float(v), 6) for k, v in scores.items()}
+    synonyms = (metrics.load_synonyms(args.meteor_synonyms)
+                if args.meteor_synonyms else None)
+    scores = metrics.score_predictions(preds, gt, meteor_synonyms=synonyms)
+    result = {k: v if isinstance(v, str) else round(float(v), 6)
+              for k, v in scores.items()}
     if args.pycoco:
         from ..eval import pycoco_adapter
         if pycoco_adapter.pycocoevalcap_available():

@@ -14,12 +14,16 @@ follows the pycocoevalcap algorithm exactly:
     across references (not max-F), beta=1.2, mean over images.
   * CIDEr-D: tf-idf 1-4grams with candidate-count clipping, length
     gaussian penalty sigma=6, *10 scaling.
-  * METEOR: implemented as the exact+stem variant (Porter stemmer,
-    alpha=0.9, beta=3, gamma=0.5 — the classic METEOR formulation).
-    The jar METEOR additionally uses WordNet synonyms and paraphrase
-    tables (external resources), so scores here are typically slightly
-    LOWER than pycocoevalcap's; treat cross-paper comparisons of METEOR
-    accordingly. SPICE (Java scene-graph parser) is not re-implemented.
+  * METEOR: exact+stem matchers by default (Porter stemmer, alpha=0.9,
+    beta=3, gamma=0.5 — the classic METEOR formulation), plus an
+    OPTIONAL synonym matcher stage fed by a user-supplied synset file
+    (`load_synonyms`; WordNet itself is an external resource this
+    zero-egress repo cannot ship). Without a synset file, scores are
+    typically slightly LOWER than the jar METEOR pycocoevalcap shells
+    out to (which always has WordNet + paraphrase tables); every score
+    dict therefore carries a `METEOR_variant` tag — "exact+stem" or
+    "exact+stem+synonym" — so numbers are never silently incomparable.
+    SPICE (Java scene-graph parser) is not re-implemented.
 
 Inputs use the COCO format: {image_id: [captions...]} for both candidates
 (single-element lists) and references.
@@ -389,28 +393,57 @@ def porter_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# METEOR (exact + stem variant)
+# METEOR (exact + stem, with an optional synonym matcher stage)
 # ---------------------------------------------------------------------------
 
+# word -> frozenset of synset ids; two words are synonym-matched when
+# their synset sets intersect (the Meteor jar's wn_synonymy module rule).
+SynonymTable = Dict[str, frozenset]
 
-def _meteor_align(cand: List[str], ref: List[str], beam: int = 40
-                  ) -> Tuple[int, int]:
+
+def load_synonyms(path: str) -> SynonymTable:
+    """Load a synset file for METEOR's synonym matcher stage.
+
+    Format: plain text, one synset per line, whitespace-separated
+    lowercase words; blank lines and `#` comments ignored. A word may
+    appear in several synsets (WordNet polysemy). Such a file is easy
+    to export from WordNet in environments that have it; this repo is
+    zero-egress so none is bundled outside the test fixture
+    (tests/fixtures/meteor_synsets.txt)."""
+    table: Dict[str, set] = {}
+    with open(path) as f:
+        for idx, line in enumerate(f):
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            for w in line.lower().split():
+                table.setdefault(w, set()).add(idx)
+    return {w: frozenset(s) for w, s in table.items()}
+
+
+def _meteor_align(cand: List[str], ref: List[str], beam: int = 40,
+                  synonyms: SynonymTable = None) -> Tuple[int, int]:
     """Alignment maximizing matches and, among maximal matchings,
     minimizing chunks — the METEOR alignment rule (a greedy assignment
     can inflate the fragmentation penalty; e.g. cand 'a b' vs ref
     'b a b' has a 1-chunk maximal matching a greedy aligner misses).
     Implemented as the same bounded beam search the Meteor aligner uses
-    (beam 40). Match predicate: exact token equality or equal Porter
-    stems (both count as full matches in the classic scoring).
+    (beam 40). Match predicate: exact token equality, equal Porter
+    stems, or — when a synonym table is supplied — a shared synset
+    (all count as full matches in the classic scoring).
 
     Returns (matches, chunks); chunks = maximal runs of consecutive
     candidate positions mapping to consecutive reference positions."""
     stems_r = [porter_stem(r) for r in ref]
+    empty = frozenset()
+    syn_r = ([(synonyms.get(r, empty)) for r in ref]
+             if synonyms else [empty] * len(ref))
     opts: List[List[int]] = []
     for c in cand:
         sc = porter_stem(c)
+        syn_c = synonyms.get(c, empty) if synonyms else empty
         opts.append([j for j, r in enumerate(ref)
-                     if r == c or stems_r[j] == sc])
+                     if r == c or stems_r[j] == sc or (syn_c & syn_r[j])])
     # state: (used ref positions, last matched (i, j)) -> fewest chunks;
     # matches == len(used), so the value ordering is chunks alone.
     states: Dict[Tuple[frozenset, Tuple[int, int]], int] = {
@@ -442,10 +475,12 @@ def _meteor_align(cand: List[str], ref: List[str], beam: int = 40
 
 
 def meteor(candidates: Dict, references: Dict, alpha: float = 0.9,
-           beta: float = 3.0, gamma: float = 0.5) -> float:
-    """METEOR with exact+stem matchers (no WordNet synonyms / paraphrase
-    tables — see module docstring). Per image, the best score over
-    references; corpus score = mean over images."""
+           beta: float = 3.0, gamma: float = 0.5,
+           synonyms: SynonymTable = None) -> float:
+    """METEOR with exact+stem matchers, plus the synonym matcher when a
+    table from `load_synonyms` is supplied (no paraphrase tables — see
+    module docstring). Per image, the best score over references;
+    corpus score = mean over images."""
     candidates = _ensure_tokens(candidates)
     references = _ensure_tokens(references)
     scores = []
@@ -458,7 +493,7 @@ def meteor(candidates: Dict, references: Dict, alpha: float = 0.9,
         for ref in refs:
             if not cand or not ref:
                 continue
-            m, ch = _meteor_align(cand, ref)
+            m, ch = _meteor_align(cand, ref, synonyms=synonyms)
             if m == 0:
                 continue
             p = m / len(cand)
@@ -476,11 +511,15 @@ def meteor(candidates: Dict, references: Dict, alpha: float = 0.9,
 # ---------------------------------------------------------------------------
 
 
-def score_predictions(predictions: List[dict], gt_metrics_format: dict
-                      ) -> Dict[str, float]:
+def score_predictions(predictions: List[dict], gt_metrics_format: dict,
+                      meteor_synonyms: SynonymTable = None) -> Dict:
     """Score prediction JSON [{"caption","image_id"}] against a reference
     `_metrics_format.json` ({"images":[{"id"}],"annotations":[...]}, the
-    format emitted by the Karpathy parser — parse_karpathy.py:33-37)."""
+    format emitted by the Karpathy parser — parse_karpathy.py:33-37).
+
+    `meteor_synonyms`: optional table from `load_synonyms` enabling
+    METEOR's synonym matcher stage. The returned dict always carries
+    `METEOR_variant` naming the matcher chain that actually ran."""
     refs = defaultdict(list)
     for a in gt_metrics_format["annotations"]:
         refs[int(a["image_id"])].append(a["caption"])
@@ -496,7 +535,9 @@ def score_predictions(predictions: List[dict], gt_metrics_format: dict
     b = bleu(cands, refs)
     return {
         "Bleu_1": b[0], "Bleu_2": b[1], "Bleu_3": b[2], "Bleu_4": b[3],
-        "METEOR": meteor(cands, refs),
+        "METEOR": meteor(cands, refs, synonyms=meteor_synonyms),
+        "METEOR_variant": ("exact+stem+synonym" if meteor_synonyms
+                           else "exact+stem"),
         "ROUGE_L": rouge_l(cands, refs),
         "CIDEr": cider_d(cands, refs),
         "num_images": float(len(cands)),

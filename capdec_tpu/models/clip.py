@@ -411,12 +411,61 @@ def params_from_openai_state_dict(sd: Dict[str, Any], cfg: CLIPConfig,
     return {"text": text, "visual": v}
 
 
-def load_openai_checkpoint(path: str, model_name: str,
+def config_from_openai_state_dict(sd, name: str = "custom") -> CLIPConfig:
+    """Infer the architecture from checkpoint shapes — the same rules as
+    OpenAI's `clip.model.build_model` (the reference loads checkpoints
+    through `clip.load`, which never takes an explicit config). Besides
+    matching the reference's loading contract for the four zoo backbones,
+    this lets arbitrary-size checkpoints (e.g. the tiny synthetic one
+    `scripts/zoo_parity.sh --dry-run` fabricates) flow through the real
+    `--clip_checkpoint` code path."""
+    def shape(k):
+        return tuple(sd[k].shape)
+
+    def n_blocks(prefix):
+        # block index = the path segment right after `prefix`
+        seg = prefix.count(".") + 1
+        return len({k.split(".")[seg] for k in sd
+                    if k.startswith(prefix + ".")})
+
+    embed_dim = shape("text_projection")[1]
+    text = CLIPTextConfig(
+        vocab_size=shape("token_embedding.weight")[0],
+        context_length=shape("positional_embedding")[0],
+        width=shape("ln_final.weight")[0],
+        heads=shape("ln_final.weight")[0] // 64,
+        layers=n_blocks("transformer.resblocks"),
+        embed_dim=embed_dim)
+    if "visual.proj" in sd:  # ViT tower
+        patch = shape("visual.conv1.weight")[-1]
+        grid = int(round((shape("visual.positional_embedding")[0] - 1)
+                         ** 0.5))
+        vision = CLIPViTConfig(
+            image_resolution=patch * grid, patch_size=patch,
+            width=shape("visual.conv1.weight")[0],
+            layers=n_blocks("visual.transformer.resblocks"),
+            heads=shape("visual.conv1.weight")[0] // 64,
+            embed_dim=embed_dim)
+    else:  # modified-ResNet tower
+        layers = tuple(
+            len({k.split(".")[2] for k in sd
+                 if k.startswith(f"visual.layer{b}.")}) for b in (1, 2, 3, 4))
+        out_hw = int(round((shape("visual.attnpool.positional_embedding")[0]
+                            - 1) ** 0.5))
+        vision = CLIPResNetConfig(
+            layers=layers, width=shape("visual.layer1.0.conv1.weight")[0],
+            image_resolution=out_hw * 32, embed_dim=embed_dim)
+    return CLIPConfig(name, text, vision)
+
+
+def load_openai_checkpoint(path: str, model_name: Optional[str] = None,
                            dtype=jnp.float32) -> Tuple[Params, CLIPConfig]:
     """Load an OpenAI CLIP `.pt` checkpoint (torchscript archive or plain
-    state_dict) and convert."""
+    state_dict) and convert. The architecture is inferred from the
+    checkpoint itself (like the reference's `clip.load`); `model_name`
+    only labels the config — for the four zoo backbones the inferred
+    config equals the MODEL_CONFIGS entry of the same name."""
     import torch
-    cfg = MODEL_CONFIGS[model_name]
     try:
         model = torch.jit.load(path, map_location="cpu")
         sd = model.state_dict()
@@ -424,6 +473,11 @@ def load_openai_checkpoint(path: str, model_name: str,
         sd = torch.load(path, map_location="cpu")
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
+    cfg = config_from_openai_state_dict(sd, model_name or "custom")
+    if model_name in MODEL_CONFIGS and cfg != MODEL_CONFIGS[model_name]:
+        raise ValueError(
+            f"checkpoint architecture {cfg} does not match the requested "
+            f"{model_name}; pass the right --is_rn / model name")
     return params_from_openai_state_dict(sd, cfg, dtype), cfg
 
 

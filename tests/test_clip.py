@@ -356,3 +356,43 @@ def test_random_init_towers_run_finite():
                                        jnp.ones((2, 64, 64, 3)) * 0.1)
     assert out.shape == (2, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_config_inference_from_state_dict_shapes():
+    """`config_from_openai_state_dict` recovers each zoo backbone's config
+    from checkpoint shapes alone — the same contract as OpenAI's
+    `clip.model.build_model`, which the reference relies on via
+    `clip.load` (predictions_runner.py:157)."""
+    def text_keys(t):
+        sd = {"text_projection": np.zeros((t.width, t.embed_dim)),
+              "token_embedding.weight": np.zeros((t.vocab_size, t.width)),
+              "positional_embedding": np.zeros((t.context_length, t.width)),
+              "ln_final.weight": np.zeros((t.width,))}
+        for i in range(t.layers):
+            sd[f"transformer.resblocks.{i}.ln_1.weight"] = np.zeros((t.width,))
+        return sd
+
+    for name, cfg in clip_lib.MODEL_CONFIGS.items():
+        sd = text_keys(cfg.text)
+        v = cfg.vision
+        if cfg.is_resnet:
+            for b, n in enumerate(v.layers, start=1):
+                for i in range(n):
+                    sd[f"visual.layer{b}.{i}.conv1.weight"] = np.zeros(
+                        (v.width * 2 ** (b - 1) if b > 1 else v.width, 1, 1, 1))
+            sd["visual.layer1.0.conv1.weight"] = np.zeros((v.width, 1, 1, 1))
+            hw = v.image_resolution // 32
+            sd["visual.attnpool.positional_embedding"] = np.zeros(
+                (hw * hw + 1, v.width * 8))
+        else:
+            sd["visual.proj"] = np.zeros((v.width, v.embed_dim))
+            sd["visual.conv1.weight"] = np.zeros(
+                (v.width, 3, v.patch_size, v.patch_size))
+            grid = v.image_resolution // v.patch_size
+            sd["visual.positional_embedding"] = np.zeros(
+                (grid * grid + 1, v.width))
+            for i in range(v.layers):
+                sd[f"visual.transformer.resblocks.{i}.ln_1.weight"] = (
+                    np.zeros((v.width,)))
+        got = clip_lib.config_from_openai_state_dict(sd, name)
+        assert got == cfg, f"{name}: inferred {got}"

@@ -240,3 +240,65 @@ def test_scorers_accept_pretokenized_and_empty_refs():
         {k: [metrics.ptb_tokenize(v[0])] for k, v in cands.items()},
         {1: [metrics.ptb_tokenize(refs[1][0])], 2: []})
     assert r_str == r_tok
+
+
+# ---------------------------------------------------------------------------
+# METEOR synonym matcher stage (optional synset file)
+# ---------------------------------------------------------------------------
+
+import os
+
+_SYNSETS = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "meteor_synsets.txt")
+
+
+def test_load_synonyms_fixture():
+    table = metrics.load_synonyms(_SYNSETS)
+    # same synset -> intersecting ids; unrelated words -> disjoint
+    assert table["dog"] & table["canine"]
+    assert not (table["dog"] & table["cat"])
+    # polysemy: 'sack' lives in two synsets, bridging bag<->sack<->bed
+    assert table["sack"] & table["bag"]
+    assert table["sack"] & table["bed"]
+    assert not (table["bag"] & table["bed"])
+    # comments and casing handled
+    assert "fixture" not in table
+
+
+def test_meteor_synonym_stage_scores_and_variant_tag():
+    table = metrics.load_synonyms(_SYNSETS)
+    cands = {1: ["a dog on the couch"]}
+    refs = {1: ["a canine on the sofa"]}
+    base = metrics.meteor(cands, refs)
+    with_syn = metrics.meteor(cands, refs, synonyms=table)
+    # dog~canine and couch~sofa only match through the synonym stage
+    assert with_syn > base
+    # with full alignment (5/5 words, 1 chunk) the score is the exact
+    # formula value: P=R=1 -> fmean=1, penalty=0.5*(1/5)^3
+    assert abs(with_syn - (1 - 0.5 * (1 / 5) ** 3)) < 1e-12
+
+    preds = [{"caption": cands[1][0], "image_id": 1}]
+    gt = {"images": [{"id": 1}],
+          "annotations": [{"image_id": 1, "caption": refs[1][0], "id": 0}]}
+    s_plain = metrics.score_predictions(preds, gt)
+    s_syn = metrics.score_predictions(preds, gt, meteor_synonyms=table)
+    assert s_plain["METEOR_variant"] == "exact+stem"
+    assert s_syn["METEOR_variant"] == "exact+stem+synonym"
+    assert s_syn["METEOR"] > s_plain["METEOR"]
+    # synonym stage must not perturb the other scorers
+    for k in ("Bleu_4", "ROUGE_L", "CIDEr"):
+        assert s_syn[k] == s_plain[k]
+
+
+def test_meteor_synonyms_do_not_outrank_exact_matches():
+    """Synonym matches are full matches but never REPLACE an available
+    exact match when that would lose alignment quality: the aligner
+    still maximizes matches then minimizes chunks over the union
+    predicate."""
+    table = metrics.load_synonyms(_SYNSETS)
+    # 'dog' could match ref 'canine' (synonym, chunk-breaking) or ref
+    # 'dog' (exact, contiguous) — alignment must pick the 1-chunk one.
+    m, ch = metrics._meteor_align(["a", "dog", "runs"],
+                                  ["canine", "a", "dog", "runs"],
+                                  synonyms=table)
+    assert (m, ch) == (3, 1)
