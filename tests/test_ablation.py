@@ -7,6 +7,7 @@ from capdec_tpu.eval import ablation
 from capdec_tpu.eval import predictions as pred_lib
 from capdec_tpu.models import caption_model, gpt2
 from capdec_tpu.utils.tokenizer import ByteTokenizer
+import pytest
 
 
 def test_count_ready_and_distances(tmp_path):
@@ -37,6 +38,7 @@ def test_gap_tracker():
     assert abs(g.mean_gap - np.sqrt(2)) < 1e-6
 
 
+@pytest.mark.slow
 def test_run_predictions_with_ablation():
     cfg = caption_model.CaptionModelConfig(
         prefix_length=3, clip_length=3, prefix_size=8, num_layers=1,

@@ -4,6 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from capdec_tpu.ops.cache_reorder import reorder_cache_rows
+import pytest
 
 
 def test_reorder_matches_take():
@@ -105,6 +106,7 @@ def test_write_gen_slot_matches_dus():
             np.testing.assert_array_equal(np.asarray(out["v"]), ref_v)
 
 
+@pytest.mark.slow
 def test_copy_forked_rows_bounded_matches_gather_on_valid_slots():
     """Bounded fork copy: rows with src[b] != b receive row src[b]'s
     slots < count; src[b] == b rows and tail slots are untouched (the

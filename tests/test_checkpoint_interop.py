@@ -22,6 +22,7 @@ REF = "/root/reference"
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference not available")
+@pytest.mark.slow
 def test_reference_checkpoint_round_trip(tmp_path):
     sys.path.insert(0, REF)
     import transformer_mapper

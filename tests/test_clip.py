@@ -338,6 +338,7 @@ def test_resnet_encoder_parity():
     np.testing.assert_allclose(got, ref, atol=3e-4, rtol=3e-4)
 
 
+@pytest.mark.slow
 def test_random_init_towers_run_finite():
     """init_vit_params / init_resnet_params build the same topology the
     converter emits (tiny configs) and encode to finite embeddings."""

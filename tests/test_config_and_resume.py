@@ -9,6 +9,7 @@ from capdec_tpu.train import resume as resume_lib
 from capdec_tpu.train import step as step_lib
 from capdec_tpu.utils import checkpoint as ckpt_lib
 from capdec_tpu.utils import config_io
+import pytest
 
 
 def tiny_cfg():
@@ -44,6 +45,7 @@ def test_save_load_config_and_model(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_orbax_full_state_resume(tmp_path):
     cfg = tiny_cfg()
     params = caption_model.init_params(jax.random.PRNGKey(1), cfg)
@@ -76,6 +78,7 @@ def test_orbax_full_state_resume(tmp_path):
     assert resume_lib.latest_state_path(str(tmp_path)) == path
 
 
+@pytest.mark.slow
 def test_loop_kill_and_resume_matches_uninterrupted(tmp_path):
     """A run stopped mid-epoch by max_steps and resumed via resume=True
     reproduces the uninterrupted run's parameters and loss curve exactly

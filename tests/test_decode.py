@@ -171,6 +171,7 @@ def test_exact_top_k_chunked_matches_lax():
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
+@pytest.mark.slow
 def test_beam_knobs_do_not_change_results(models):
     _, params, cfg = models
     prefixes = _random_prefixes(2, 5, SMALL["n_embd"], seed=11)
@@ -214,6 +215,7 @@ def test_lane_assignment_invariants():
                         all(v != l for v in src_of_lane.values())
 
 
+@pytest.mark.slow
 def test_beam_lane_mode_matches_rank_mode(models):
     """Lane-assigned beams (fork-copy placement) must be bit-identical to
     the rank-ordered reorder path."""
@@ -231,6 +233,7 @@ def test_beam_lane_mode_matches_rank_mode(models):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_beam_staged_cache_matches_unstaged(models):
     """cache_stages > 1 (growing per-stage slot capacity) is bit-identical
     to one full-size cache."""
@@ -248,6 +251,7 @@ def test_beam_staged_cache_matches_unstaged(models):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_beam_cache_layouts_identical(models):
     """Row-major [B, L, E, D] and layer-major [L, B, E, D] gen caches give
     bit-identical results."""
@@ -268,6 +272,7 @@ def test_beam_cache_layouts_identical(models):
 
 
 @pytest.mark.parametrize("onehot", [True, False])
+@pytest.mark.slow
 def test_beam_ancestry_matches_reorder(models, onehot):
     """Ancestry attention (no cache movement) must be bit-identical to the
     physically-reordered-cache path, for both gather styles."""
@@ -350,6 +355,7 @@ def test_greedy_chunk_slot_write_matches_plain_path(models):
 
 @pytest.mark.parametrize("chunk_write,entry_length",
                          [(False, 12), (True, 12), (True, 40)])
+@pytest.mark.slow
 def test_beam_fused_attention_matches_xla_path(models, chunk_write,
                                                entry_length):
     """The PRODUCTION TPU beam config (lane beams + staged cache growth +
@@ -377,6 +383,7 @@ def test_beam_fused_attention_matches_xla_path(models, chunk_write,
     np.testing.assert_array_equal(r1[3], r2[3])  # order
 
 
+@pytest.mark.slow
 def test_beam_int8_kv_cache_agrees_with_fp_path(models):
     """Opt-in int8 KV cache (production serving knob): decodes valid
     captions whose tokens overwhelmingly agree with the bf16 path on the
@@ -439,6 +446,7 @@ def test_greedy_int8_rejects_incompatible_knobs(models):
 
 
 @pytest.mark.parametrize("stages", [1, 3])
+@pytest.mark.slow
 def test_beam_v3_slot_bounded_config_matches_xla_path(models, stages):
     """The v3 production config — slot-bounded chunked attention reads,
     bounded fork copies (pallas, interpret mode), chunked slot write,
@@ -465,6 +473,7 @@ def test_beam_v3_slot_bounded_config_matches_xla_path(models, stages):
     np.testing.assert_array_equal(r1[3], r2[3])  # order
 
 
+@pytest.mark.slow
 def test_beam_v3_int8_agrees_with_fp_path(models):
     """int8 KV + v3 slot-bounded kernel (chunked_q): valid captions with
     overwhelming token agreement vs the fp path."""
@@ -486,6 +495,7 @@ def test_beam_v3_int8_agrees_with_fp_path(models):
     assert agree >= 0.8, f"token agreement {agree:.2%}"
 
 
+@pytest.mark.slow
 def test_greedy_v3_slot_bounded_matches_xla_path(models):
     """Greedy decode through the v3 slot-bounded fused kernel (single
     full-size cache) == the XLA path's tokens."""
@@ -550,6 +560,7 @@ def test_greedy_full_int8_fused_agrees_with_fp_path(models):
     assert agree >= 0.8, f"token agreement {agree:.2%}"
 
 
+@pytest.mark.slow
 def test_beam_fused_lm_head_matches_xla_path(models):
     """Fused LM-head + lse + top-R kernel: token-identical beams (the
     kernel's top-R is exact incl. lowest-index ties)."""
@@ -572,6 +583,7 @@ def test_beam_fused_lm_head_matches_xla_path(models):
     np.testing.assert_array_equal(r1[3], r2[3])  # order
 
 
+@pytest.mark.slow
 def test_greedy_fused_lm_head_matches_xla_path(models):
     tm, params, cfg = models
     K, E = 5, 14

@@ -40,6 +40,7 @@ def make_corpus(path, n=64, dim=12, seed=0):
                      "clip_embedding_text_dave": embeds.copy()}, f)
 
 
+@pytest.mark.slow
 def test_full_pipeline(tmp_path):
     data_path = str(tmp_path / "corpus.pkl")
     make_corpus(data_path)

@@ -151,6 +151,7 @@ def test_lanes_merge_all_equal_logits():
     (3, 640, 16, 16, 512, 3, 13),   # r == G (per-lane rounds exhausted)
     (8, 257, 8, 1, 256, 8, 14),     # greedy R=1, ragged tail chunk
 ])
+@pytest.mark.slow
 def test_lanes_merge_shape_stress(B, V, D, r, vc, br, seed):
     # awkward-shape sweep for the two-level merge: ragged last chunks,
     # block_rows not dividing B, single-chunk vocab, r at the per-lane

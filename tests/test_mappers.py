@@ -84,6 +84,7 @@ def test_mlp_mapper_parity():
 
 @pytest.mark.parametrize("mtype", ["mlp", "transformer", "transformer_decoder",
                                    "mapping_network"])
+@pytest.mark.slow
 def test_round_trip_and_shapes(mtype):
     import jax
     cfg = mappers.MapperConfig(mapping_type=mtype, dim_clip=20, dim_embedding=16,

@@ -22,6 +22,7 @@ TINY = caption_model.CaptionModelConfig(
                          n_layer=2, n_head=4))
 
 
+@pytest.mark.slow
 def test_run_predictions_beam_and_greedy(tmp_path):
     params = caption_model.init_params(jax.random.PRNGKey(0), TINY)
     records = [{"image_id": i, "clip_embedding": i} for i in range(6)]

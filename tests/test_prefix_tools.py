@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from capdec_tpu.eval import prefix_tools
 from capdec_tpu.models import caption_model, gpt2
 from capdec_tpu.utils.tokenizer import ByteTokenizer
+import pytest
 
 TINY = caption_model.CaptionModelConfig(
     prefix_length=4, clip_length=4, prefix_size=8, num_layers=1,
@@ -38,6 +39,7 @@ def test_add_remove_positions():
     assert removed.shape == (1, 4, 16)
 
 
+@pytest.mark.slow
 def test_inspect_samples(tmp_path, capsys):
     import pickle
     from capdec_tpu.data import dataset as data_lib

@@ -31,6 +31,7 @@ def _corpus(path, n=32, dim=8):
                          rng.randn(n, dim).astype(np.float32)}, f)
 
 
+@pytest.mark.slow
 def test_train_loop_with_mesh(tmp_path):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -101,6 +102,7 @@ def test_encode_images_batched_with_missing(tmp_path):
     assert embeds.shape == (3, 3)
 
 
+@pytest.mark.slow
 def test_prefix_editing_loops():
     from capdec_tpu.eval import prefix_tools
     from capdec_tpu.utils.tokenizer import ByteTokenizer

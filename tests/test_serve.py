@@ -30,6 +30,7 @@ def server():
     return serve_lib.CaptionServer(params, TINY, ByteTokenizer(), cfg)
 
 
+@pytest.mark.slow
 def test_padding_never_leaks_and_results_match_full_batch(server):
     """A ragged request set padded to the fixed batch returns exactly the
     captions the same rows get in a full batch (padding rows dropped)."""
@@ -178,6 +179,7 @@ def test_serve_latency_percentiles_under_poisson_load(server):
     assert 0 < pct["p50"] <= pct["p95"] <= pct["p99"] <= wall + 1.0
 
 
+@pytest.mark.slow
 def test_serve_queue_backpressure():
     """max_queue bounds the request queue: a producer faster than the
     consumer blocks in submit() instead of growing memory."""

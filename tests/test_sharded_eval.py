@@ -16,6 +16,7 @@ TINY = gpt2.GPT2Config(vocab_size=128, n_positions=64, n_embd=32,
                        n_layer=2, n_head=4)
 
 
+@pytest.mark.slow
 def test_dp_sharded_beam_matches_single_device():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -70,6 +71,7 @@ def test_run_predictions_with_mesh():
     assert base == sharded
 
 
+@pytest.mark.slow
 def test_tp2_sharded_beam_and_greedy_match_single_device():
     """Tensor-parallel decode correctness (VERDICT r2 item 7): GPT-2
     params sharded Megatron-style over a dp=4 x tp=2 mesh
@@ -120,6 +122,7 @@ def test_tp2_sharded_beam_and_greedy_match_single_device():
 
 
 @pytest.mark.parametrize("int8", [False, True])
+@pytest.mark.slow
 def test_dp_sharded_fused_beam_matches_single_device(int8):
     """The PRODUCTION decode configuration — fused Pallas attention
     (interpret mode on CPU) plus its opt-in int8-KV variant — run with a

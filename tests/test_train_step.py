@@ -83,6 +83,7 @@ def test_schedule_matches_hf():
 
 
 @pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
+@pytest.mark.slow
 def test_mesh_sharded_step_matches_single_device(dp, tp):
     """dp-scaling sweep (1..8-way data parallel) x Megatron tp: every
     mesh shape reproduces the single-device step bit-for-tolerance
@@ -129,6 +130,7 @@ def test_checkpoint_save_load_round_trip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_multi_step_matches_single_steps():
     """make_train_multi_step(K) is bit-identical to K single steps (same
     per-step noise keys via the folded step counter)."""
@@ -175,6 +177,7 @@ def test_multi_step_matches_single_steps():
     assert int(s2["step"]) == K
 
 
+@pytest.mark.slow
 def test_loop_steps_per_dispatch_equivalent(tmp_path):
     """The loop with steps_per_dispatch=3 reproduces the K=1 run exactly,
     including the leftover-batch path (4 steps/epoch, K=3 -> 3+1)."""
@@ -208,6 +211,7 @@ def test_loop_steps_per_dispatch_equivalent(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_loss_forward_matches_forward_plus_loss_fn():
     """The fused sliced-LM-head loss path (caption_model.loss_forward) is
     the same math as loss_fn(forward(...)): the LM head is row-independent
@@ -232,6 +236,7 @@ def test_loss_forward_matches_forward_plus_loss_fn():
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g_ref, g_fused)
 
 
+@pytest.mark.slow
 def test_ce_chunked_matches_single_shot():
     """ce_chunk_rows: chunked+rematerialized CE == the single-shot loss
     and (trainable-subtree) gradients to float eps."""

@@ -5,6 +5,7 @@ import time
 
 from capdec_tpu.utils import meter as meter_lib
 from capdec_tpu.utils import profiling
+import pytest
 
 
 def test_timer_accumulates():
@@ -38,6 +39,7 @@ def test_metrics_logger(tmp_path):
     assert rows[1]["loss"] == 1.25
 
 
+@pytest.mark.slow
 def test_trace_summary_on_cpu(tmp_path):
     import jax
     import jax.numpy as jnp
