@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help='opt-in int8 KV cache for beam decode (~25%% more '
                         'throughput; captions are not token-identical to '
                         'the bf16 path)')
+    p.add_argument('--infer_model_config', action='store_true', default=False,
+                   help='infer the caption-model architecture from checkpoint '
+                        'shapes instead of the flags (the reference hardcodes '
+                        'flags that must match by convention, '
+                        'predictions_runner.py:436-460)')
     return p
 
 
@@ -120,14 +125,22 @@ def main(argv=None):
     with open(os.path.join(out_dir, 'commandline_args.txt'), 'w') as f:
         json.dump(vars(args), f, indent=2)
 
-    prefix_dim = [512, 640][args.is_rn]
-    model_cfg = caption_model.CaptionModelConfig(
-        prefix_length=args.prefix_length, clip_length=args.prefix_length_clip,
-        prefix_size=prefix_dim, num_layers=args.num_layers,
-        mapping_type=args.mapping_type,
-        gpt2=gpt2.GPT2Config(
-            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32))
-    params = ckpt_lib.load_caption_checkpoint(args.checkpoint, model_cfg)
+    compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if args.infer_model_config:
+        sd = ckpt_lib.load_state_dict(args.checkpoint)
+        model_cfg = caption_model.config_from_torch_state_dict(
+            sd, compute_dtype=compute_dtype)
+        print(f'inferred model config: {model_cfg}', flush=True)
+        params = caption_model.params_from_torch_state_dict(sd, model_cfg)
+        prefix_dim = model_cfg.prefix_size
+    else:
+        prefix_dim = [512, 640][args.is_rn]
+        model_cfg = caption_model.CaptionModelConfig(
+            prefix_length=args.prefix_length, clip_length=args.prefix_length_clip,
+            prefix_size=prefix_dim, num_layers=args.num_layers,
+            mapping_type=args.mapping_type,
+            gpt2=gpt2.GPT2Config(compute_dtype=compute_dtype))
+        params = ckpt_lib.load_caption_checkpoint(args.checkpoint, model_cfg)
     print(args.checkpoint, flush=True)
     print(f'modality_offset={args.add_modality_offset}', flush=True)
 
@@ -157,7 +170,9 @@ def main(argv=None):
     else:
         if not args.clip_checkpoint:
             sys.exit("--clip_checkpoint or --embeddings_pickle required")
-        model_name = "RN50x4" if args.is_rn else "ViT-B/32"
+        # with shape-inferred model config, infer the CLIP arch too
+        model_name = (None if args.infer_model_config
+                      else "RN50x4" if args.is_rn else "ViT-B/32")
         clip_params, clip_cfg = clip_lib.load_openai_checkpoint(
             args.clip_checkpoint, model_name)
         if args.text_autoencoder or args.dataset_mode == 5:

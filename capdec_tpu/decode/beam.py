@@ -531,9 +531,30 @@ def pallas_autodetect() -> bool:
                    for d in jax.devices()))
 
 
-def resolve_config(bc: BeamConfig) -> BeamConfig:
+def kernels_supported(cfg: Optional[gpt2.GPT2Config]) -> bool:
+    """Whether the Pallas decode kernels can lower for this model size.
+
+    The fused kernels keep the embedding payload in the 128-wide lane
+    dimension (ops/decode_attention.py: caches [rows, S, n_embd],
+    head-grouping G [n_embd, 128]; ops/lm_head.py streams wte in 128-lane
+    column blocks), so Mosaic requires n_embd % 128 == 0 and at most 128
+    heads. Off-size models (e.g. the tiny dry-run checkpoints) fall back
+    to the XLA path, which is shape-agnostic.
+    """
+    return (cfg is None
+            or (cfg.n_embd % 128 == 0 and cfg.n_head <= 128))
+
+
+def resolve_config(bc: BeamConfig,
+                   model_cfg: Optional[gpt2.GPT2Config] = None) -> BeamConfig:
     """Resolve every None (auto) knob to its measured production value
     for the current platform (tested in tests/test_decode.py)."""
+    if not kernels_supported(model_cfg):
+        # auto-off every Pallas path; explicit opt-ins raise in the kernels
+        for knob in ("pallas_reorder", "fused_attention", "chunk_slot_write",
+                     "fused_lm_head", "pallas_slot_write"):
+            if getattr(bc, knob) is None:
+                bc = dataclasses.replace(bc, **{knob: False})
     if bc.pallas_reorder is None:
         bc = dataclasses.replace(bc, pallas_reorder=pallas_autodetect())
     if bc.pallas_slot_write is None:
@@ -578,7 +599,8 @@ def beam_search(params: Any, cfg: gpt2.GPT2Config, prefix_embeds: jnp.ndarray,
     Returns (tokens [N,R,E], seq_lengths [N,R], scores [N,R], order [N,R])
     where `order` ranks beams by length-normalized score descending.
     """
-    return _beam_search_impl(params, cfg, resolve_config(bc), prefix_embeds)
+    return _beam_search_impl(params, cfg, resolve_config(bc, cfg),
+                             prefix_embeds)
 
 
 def beam_texts(tokenizer, tokens, seq_lengths, order) -> List[List[str]]:

@@ -204,9 +204,15 @@ def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
     return tokens, lengths
 
 
-def resolve_config(tc: ToppConfig) -> ToppConfig:
+def resolve_config(tc: ToppConfig,
+                   model_cfg: Optional[gpt2.GPT2Config] = None) -> ToppConfig:
     """Resolve every None (auto) knob to its measured production value
     for the current platform (tested in tests/test_decode.py)."""
+    from .beam import kernels_supported
+    if not kernels_supported(model_cfg):
+        for knob in ("fused_attention", "chunk_slot_write", "fused_lm_head"):
+            if getattr(tc, knob) is None:
+                tc = dataclasses.replace(tc, **{knob: False})
     if tc.fused_attention is None:
         tc = dataclasses.replace(tc, fused_attention=False)
     if tc.chunk_slot_write is None:
@@ -241,7 +247,7 @@ def greedy_topp_search(params: Any, cfg: gpt2.GPT2Config,
     """Decode a batch of prefixes [N, K, D] → (tokens [N, E], lengths [N])."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    tc = resolve_config(tc)
+    tc = resolve_config(tc, cfg)
     return _greedy_impl(params, cfg, tc, prefix_embeds, key)
 
 

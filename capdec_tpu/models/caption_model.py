@@ -170,6 +170,63 @@ def params_from_torch_state_dict(sd: Dict[str, Any], cfg: CaptionModelConfig,
     }
 
 
+def config_from_torch_state_dict(sd: Dict[str, Any],
+                                 compute_dtype: Any = jnp.float32,
+                                 **overrides) -> CaptionModelConfig:
+    """Infer the full caption-model architecture from checkpoint shapes.
+
+    The reference never stores a config inside its `.pt` — eval hardcodes
+    the architecture flags and they must match the checkpoint by convention
+    (predictions_runner.py:436-460). Shape inference removes that footgun
+    and lets arbitrary-size checkpoints (e.g. the tiny synthetic one
+    `scripts/zoo_parity.sh --dry-run` fabricates) flow through the real
+    CLI path. `num_heads`/`mlp_ratio` of the mapper stay at the reference's
+    fixed 8 / 2.0 (train.py:212, transformer_mapper.py:96) — they are not
+    recoverable from fused projection shapes.
+    """
+    def shape(key):
+        return tuple(sd[key].shape)
+
+    gcfg = gpt2.config_from_torch_state_dict(sd, prefix="gpt.",
+                                             compute_dtype=compute_dtype)
+    d_emb = gcfg.n_embd
+
+    def n_layers(base):
+        seg = base.count(".")
+        return len({k.split(".")[seg] for k in sd if k.startswith(base)})
+
+    if "clip_project.transformer.layers.0.norm1.weight" in sd:
+        mapping_type = "transformer"
+        prefix_length = shape("clip_project.prefix_const")[0]
+        out_dim, prefix_size = shape("clip_project.linear.weight")
+        clip_length = out_dim // d_emb
+        num_layers = n_layers("clip_project.transformer.layers.")
+    elif "clip_project.ref_encoder.layers.0.norm1.weight" in sd:
+        mapping_type = "transformer_decoder"
+        prefix_length = shape("clip_project.prefix_const")[0]
+        dim_ref = shape("clip_project.ref_encoder.layers.0.norm1.weight")[0]
+        out_dim, prefix_size = shape("clip_project.linear.weight")
+        clip_length = out_dim // dim_ref
+        num_layers = n_layers("clip_project.ref_encoder.layers.")
+    else:
+        # Sequential MLP: `model.*` (mlp) or `mlp.model.*` (mapping_network)
+        base = ("clip_project.mlp.model."
+                if "clip_project.mlp.model.0.weight" in sd
+                else "clip_project.model.")
+        mapping_type = ("mapping_network" if base.count(".") == 3 else "mlp")
+        idx = sorted(int(k[len(base):].split(".")[0]) for k in sd
+                     if k.startswith(base) and k.endswith(".weight"))
+        prefix_size = shape(f"{base}{idx[0]}.weight")[1]
+        prefix_length = shape(f"{base}{idx[-1]}.weight")[0] // d_emb
+        clip_length = prefix_length
+        num_layers = len(idx)
+    cfg = CaptionModelConfig(
+        prefix_length=prefix_length, clip_length=clip_length,
+        prefix_size=prefix_size, num_layers=num_layers,
+        mapping_type=mapping_type, gpt2=gcfg)
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
 def params_to_torch_state_dict(params: Params,
                                cfg: CaptionModelConfig) -> Dict[str, Any]:
     out = gpt2.params_to_torch_state_dict(params["gpt"], prefix="gpt.")

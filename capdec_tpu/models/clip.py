@@ -481,6 +481,88 @@ def load_openai_checkpoint(path: str, model_name: Optional[str] = None,
     return params_from_openai_state_dict(sd, cfg, dtype), cfg
 
 
+def params_to_openai_state_dict(params: Params, cfg: CLIPConfig) -> Dict[str, Any]:
+    """Inverse of `params_from_openai_state_dict`: emit an OpenAI-layout
+    CLIP state_dict (numpy values, torch shape/transpose conventions).
+
+    Round-trips with the loader — used to fabricate valid tiny checkpoints
+    for `scripts/zoo_parity.sh --dry-run` and to write back edited weights
+    in the reference's on-disk format.
+    """
+    out: Dict[str, Any] = {}
+
+    def put_lin(name, p, transpose=True):
+        w = np.asarray(p["w"])
+        out[f"{name}.weight"] = w.T if transpose else w
+        if p.get("b") is not None:
+            out[f"{name}.bias"] = np.asarray(p["b"])
+
+    def put_ln(name, p):
+        out[f"{name}.weight"] = np.asarray(p["scale"])
+        out[f"{name}.bias"] = np.asarray(p["bias"])
+
+    def put_bn(name, p):
+        out[f"{name}.weight"] = np.asarray(p["scale"])
+        out[f"{name}.bias"] = np.asarray(p["bias"])
+        out[f"{name}.running_mean"] = np.asarray(p["mean"])
+        out[f"{name}.running_var"] = np.asarray(p["var"])
+
+    def put_conv(name, w):
+        # HWIO -> torch OIHW
+        out[f"{name}.weight"] = np.asarray(w).transpose(3, 2, 0, 1)
+
+    def put_resblocks(base, stacked, n):
+        for i in range(n):
+            blk = jax.tree.map(lambda a: a[i], stacked)
+            b = f"{base}.{i}"
+            put_ln(f"{b}.ln_1", blk["ln_1"])
+            out[f"{b}.attn.in_proj_weight"] = np.asarray(
+                blk["attn"]["in_proj"]["w"]).T
+            out[f"{b}.attn.in_proj_bias"] = np.asarray(
+                blk["attn"]["in_proj"]["b"])
+            put_lin(f"{b}.attn.out_proj", blk["attn"]["out_proj"])
+            put_ln(f"{b}.ln_2", blk["ln_2"])
+            put_lin(f"{b}.mlp.c_fc", blk["mlp"]["c_fc"])
+            put_lin(f"{b}.mlp.c_proj", blk["mlp"]["c_proj"])
+
+    t = params["text"]
+    out["token_embedding.weight"] = np.asarray(t["token_embedding"])
+    out["positional_embedding"] = np.asarray(t["positional_embedding"])
+    put_resblocks("transformer.resblocks", t["resblocks"], cfg.text.layers)
+    put_ln("ln_final", t["ln_final"])
+    out["text_projection"] = np.asarray(t["text_projection"])
+
+    v = params["visual"]
+    if cfg.is_resnet:
+        for i in (1, 2, 3):
+            put_conv(f"visual.conv{i}", v[f"conv{i}"])
+            put_bn(f"visual.bn{i}", v[f"bn{i}"])
+        for stage in range(4):
+            for j, blk in enumerate(v[f"layer{stage + 1}"]):
+                b = f"visual.layer{stage + 1}.{j}"
+                for c in (1, 2, 3):
+                    put_conv(f"{b}.conv{c}", blk[f"conv{c}"])
+                    put_bn(f"{b}.bn{c}", blk[f"bn{c}"])
+                if "downsample" in blk:
+                    put_conv(f"{b}.downsample.1", blk["downsample"]["conv"])
+                    put_bn(f"{b}.downsample.2", blk["downsample"]["bn"])
+        out["visual.attnpool.positional_embedding"] = np.asarray(
+            v["attnpool"]["positional_embedding"])
+        for n in ("q_proj", "k_proj", "v_proj", "c_proj"):
+            put_lin(f"visual.attnpool.{n}", v["attnpool"][n])
+    else:
+        put_conv("visual.conv1", v["conv1"])
+        out["visual.class_embedding"] = np.asarray(v["class_embedding"])
+        out["visual.positional_embedding"] = np.asarray(
+            v["positional_embedding"])
+        put_ln("visual.ln_pre", v["ln_pre"])
+        put_resblocks("visual.transformer.resblocks", v["resblocks"],
+                      cfg.vision.layers)
+        put_ln("visual.ln_post", v["ln_post"])
+        out["visual.proj"] = np.asarray(v["proj"])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Random init (tests only — tiny configs)
 # ---------------------------------------------------------------------------

@@ -845,6 +845,31 @@ def params_from_torch_state_dict(state_dict: Dict[str, Any], cfg: GPT2Config,
     }
 
 
+def config_from_torch_state_dict(state_dict: Dict[str, Any], prefix: str = "",
+                                 compute_dtype: Any = jnp.float32) -> GPT2Config:
+    """Infer the decoder architecture from checkpoint shapes alone.
+
+    Mirrors the CLIP-side `config_from_openai_state_dict`: the reference
+    never stores a config next to its `.pt` (train.py:367-371 saves the raw
+    state_dict), so shapes are the only source of truth. `n_head` is not
+    recoverable from the fused c_attn shape; every released GPT-2 size uses
+    head_dim 64 (124M: 768/12 … XL: 1600/25), so `n_embd // 64` recovers all
+    of them. For non-standard widths (< 64) fall back to one head.
+    """
+    def shape(name):
+        return tuple(state_dict[prefix + name].shape)
+
+    vocab_size, n_embd = shape("transformer.wte.weight")
+    seg = (prefix + "transformer.h.").count(".")
+    n_layer = len({k.split(".")[seg] for k in state_dict
+                   if k.startswith(prefix + "transformer.h.")})
+    return GPT2Config(vocab_size=vocab_size,
+                      n_positions=shape("transformer.wpe.weight")[0],
+                      n_embd=n_embd, n_layer=n_layer,
+                      n_head=max(1, n_embd // 64),
+                      compute_dtype=compute_dtype)
+
+
 def params_to_torch_state_dict(params: Params, prefix: str = "") -> Dict[str, Any]:
     """Inverse of `params_from_torch_state_dict` (numpy arrays as values)."""
     import numpy as np

@@ -19,6 +19,30 @@
 #   headroom for decode-tie and preprocessing jitter. Tighten once a
 #   first parity run records this framework's actual numbers.
 set -euo pipefail
+
+# --dry-run: fabricate tiny shape-valid stand-ins for every artifact and
+# run the IDENTICAL command chain below on them (random weights, gates
+# disabled) — keeps this script from rotting in the zero-egress container
+# where the real zoo artifacts don't exist. Exercised by
+# tests/test_zoo_dryrun.py.
+EXTRA_PREDICT_FLAGS=${EXTRA_PREDICT_FLAGS:-}
+if [ "${1:-}" = "--dry-run" ]; then
+    OUT=${OUT:-$(mktemp -d)/zoo_dryrun}
+    FIX="$OUT/fixtures"
+    python "$(dirname "$0")/make_zoo_dryrun_fixtures.py" "$FIX"
+    export ZOO_CKPT="$FIX/capdec_tiny.pt"
+    export KARPATHY_JSON="$FIX/karpathy/dataset_coco.json"
+    export COCO_IMAGES="$FIX/images"
+    export CLIP_CKPT="$FIX/clip_tiny.pt"
+    export GPT2_DIR="$FIX/gpt2_vocab"
+    export CAPDEC_DATA_ROOT="$OUT/data"
+    # gates off: random weights caption garbage; the chain is the test.
+    MIN_CIDER=-1
+    MIN_B4=-1
+    # tiny checkpoint => infer the architecture from its shapes
+    EXTRA_PREDICT_FLAGS="--infer_model_config --batch_size 4"
+fi
+
 export CAPDEC_DATA_ROOT=${CAPDEC_DATA_ROOT:-./data}
 export CAPDEC_GPT2_VOCAB_DIR=$GPT2_DIR
 MIN_CIDER=${MIN_CIDER:-0.88}
@@ -55,7 +79,8 @@ python -m capdec_tpu.cli.predict \
     --checkpoint "$ZOO_CKPT" --dataset_mode 0 \
     --clip_checkpoint "$CLIP_CKPT" \
     --out "$OUT/zoo_predictions.json" \
-    --score_gt "$CAPDEC_DATA_ROOT/coco/annotations/test_metrics_format.json"
+    --score_gt "$CAPDEC_DATA_ROOT/coco/annotations/test_metrics_format.json" \
+    $EXTRA_PREDICT_FLAGS
 
 # 3. gate against the published numbers
 python - <<PY
