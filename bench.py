@@ -163,8 +163,12 @@ def section_beam(args):
         bc = dataclasses.replace(bc, kv_cache_int8=True, fused_attention=True)
     if args.slot_chunks:
         bc = dataclasses.replace(bc, fused_slot_chunks=args.slot_chunks,
-                                 cache_stages=args.cache_stages,
+                                 cache_stages=args.cache_stages or 1,
                                  fused_attention=True)
+    elif args.cache_stages:
+        # staging knob alone (e.g. --cache-stages 1: one full-size cache
+        # from step 0 — no grow copies, no transient double allocation)
+        bc = dataclasses.replace(bc, cache_stages=args.cache_stages)
     if args.block_beams:
         bc = dataclasses.replace(bc, fused_block_beams=args.block_beams)
 
@@ -261,13 +265,18 @@ def section_train(args):
                             for k, v in b.items()})
         state = step_lib.init_train_state(
             jax.tree.map(lambda a: a.copy(), params_t), tx)
-        flops = 0.0
+        # Analytic matmul FLOPs (utils/flops.py). XLA cost_analysis on
+        # this backend under-reports several-fold and varies across runs
+        # (409 and 897 GFLOP observed for the bs=120 step whose matmuls
+        # alone are ~6.2 TFLOP), so it is kept only as a diagnostic field.
+        from capdec_tpu.utils.flops import train_step_matmul_flops
+        flops = train_step_matmul_flops(cfg_t, bs, T)
         try:
             cost = (multi_step.lower(state, batches[0], key).compile()
                     .cost_analysis())
             if cost:
                 c = cost[0] if isinstance(cost, (list, tuple)) else cost
-                flops = float(c.get("flops", 0.0)) / K
+                measure_train.xla_flops = float(c.get("flops", 0.0)) / K
         except Exception:
             pass
         state, losses = multi_step(state, batches[0], key)  # compile
@@ -309,8 +318,11 @@ def section_train(args):
         step_t_best = best_bs / best_sps
         out["train_mfu_best"] = best_flops / step_t_best / args.peak_flops
         out["train_model_flops_per_step"] = best_flops
+        xla_flops = getattr(measure_train, "xla_flops", 0.0)
+        if xla_flops:
+            out["train_xla_cost_analysis_flops"] = xla_flops  # diagnostic
     else:
-        out["train_mfu_best"] = -1.0  # cost analysis unavailable
+        out["train_mfu_best"] = -1.0
     return out
 
 
@@ -378,6 +390,96 @@ def section_train_baseline(args):
     return {"baseline_train_sps": max(sps)}
 
 
+def section_train_baseline_torch(args):
+    """The reference training algorithm in torch on this container's CPU —
+    the only hardware the reference code (torch-CUDA) can actually run on
+    here. A faithful re-creation, NOT a copy: frozen GPT-2 + trained
+    transformer mapper (train.py:276-284), per-batch noise injection
+    (train.py:347), CE on logits[:, K-1:-1] (train.py:349-350), AdamW +
+    per-step loss.item() (train.py:326,356). Random-init weights
+    (zero-egress); throughput is weight-independent."""
+    import torch
+    import torch.nn as nn
+    from transformers import GPT2Config as HFConfig
+    from transformers import GPT2LMHeadModel
+
+    torch.manual_seed(0)
+    K, T, bs = 40, 40, 30
+    d = 768
+
+    class MapperLayer(nn.Module):
+        # reference Transformer layer: pre-LN, fused to_keys_values,
+        # mlp_ratio 2 (train.py:138-189)
+        def __init__(self):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(d)
+            self.to_queries = nn.Linear(d, d, bias=False)
+            self.to_keys_values = nn.Linear(d, 2 * d, bias=False)
+            self.project = nn.Linear(d, d)
+            self.norm2 = nn.LayerNorm(d)
+            self.fc1 = nn.Linear(d, 2 * d)
+            self.fc2 = nn.Linear(2 * d, d)
+
+        def forward(self, x):
+            h = self.norm1(x)
+            B, S, _ = h.shape
+            q = self.to_queries(h).reshape(B, S, 8, d // 8)
+            kv = self.to_keys_values(h).reshape(B, S, 2, 8, d // 8)
+            att = torch.einsum("bqhd,bkhd->bqkh", q, kv[:, :, 0]) * (d // 8) ** -0.5
+            out = torch.einsum("bqkh,bkhd->bqhd", att.softmax(dim=2), kv[:, :, 1])
+            x = x + self.project(out.reshape(B, S, d))
+            return x + self.fc2(torch.relu(self.fc1(self.norm2(x))))
+
+    class Mapper(nn.Module):
+        # TransformerMapper: linear -> clip_length pseudo tokens ++
+        # learned prefix_const, keep last K slots (train.py:229-243)
+        def __init__(self):
+            super().__init__()
+            self.linear = nn.Linear(640, K * d)
+            self.prefix_const = nn.Parameter(torch.randn(K, d))
+            self.layers = nn.ModuleList([MapperLayer() for _ in range(8)])
+
+        def forward(self, p):
+            x = self.linear(p).reshape(-1, K, d)
+            x = torch.cat([x, self.prefix_const.expand(x.shape[0], -1, -1)], 1)
+            for l in self.layers:
+                x = l(x)
+            return x[:, K:]
+
+    gpt = GPT2LMHeadModel(HFConfig())  # random init; no download
+    gpt.eval()
+    for p in gpt.parameters():
+        p.requires_grad_(False)
+    mapper = Mapper()
+    opt = torch.optim.AdamW(mapper.parameters(), lr=2e-5)
+    ce = nn.CrossEntropyLoss(ignore_index=0)
+    rng = np.random.RandomState(0)
+    host_batches = [
+        (rng.randint(1, 50257, (bs, T)).astype(np.int64),
+         rng.randn(bs, 640).astype(np.float32)) for _ in range(3)]
+
+    def step(tokens_np, prefix_np):
+        tokens = torch.from_numpy(tokens_np)
+        prefix = torch.from_numpy(prefix_np)
+        prefix = prefix / prefix.norm(dim=-1, keepdim=True)
+        prefix = prefix + torch.randn_like(prefix) * 0.016 ** 0.5
+        prefix = prefix / prefix.norm(dim=-1, keepdim=True)
+        embeds = torch.cat([mapper(prefix),
+                            gpt.transformer.wte(tokens)], dim=1)
+        logits = gpt(inputs_embeds=embeds).logits[:, K - 1:-1]
+        loss = ce(logits.reshape(-1, logits.shape[-1]), tokens.reshape(-1))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        return loss.item()  # per-step host sync (train.py:356)
+
+    step(*host_batches[0])  # warmup
+    t0 = time.perf_counter()
+    for tok, pre in host_batches:
+        step(tok, pre)
+    return {"torch_cpu_train_sps": bs * 3 / (time.perf_counter() - t0)}
+
+
 _SECTIONS = {
     "peak": section_peak,
     "naive_decode": section_naive_decode,
@@ -385,6 +487,7 @@ _SECTIONS = {
     "greedy": section_greedy,
     "train": section_train,
     "train_baseline": section_train_baseline,
+    "train_baseline_torch": section_train_baseline_torch,
 }
 
 
@@ -501,6 +604,16 @@ def main():
             out["train_vs_baseline"] = round(
                 train["train_samples_per_sec_contract"]
                 / tb["baseline_train_sps"], 2)
+
+        # 8. the reference algorithm in torch on this container's CPU —
+        # the only hardware its torch-CUDA code can run on here.
+        tt, err = _run_section("train_baseline_torch", timeout=1200)
+        note(err)
+        if train and tt:
+            out["torch_cpu_train_sps"] = round(tt["torch_cpu_train_sps"], 2)
+            out["train_vs_torch_cpu"] = round(
+                train["train_samples_per_sec_contract"]
+                / tt["torch_cpu_train_sps"], 1)
     except Exception as e:  # pragma: no cover - defensive
         failed.append(f"orchestrator: {e!r}")
     finally:
@@ -517,7 +630,7 @@ def _child():
     p.add_argument("--ng", type=int, default=1024)
     p.add_argument("--int8", action="store_true")
     p.add_argument("--slot-chunks", type=int, default=0)
-    p.add_argument("--cache-stages", type=int, default=1)
+    p.add_argument("--cache-stages", type=int, default=0)  # 0 = default
     p.add_argument("--block-beams", type=int, default=0)
     p.add_argument("--peak-flops", type=float, default=0.0)
     p.add_argument("--contract-only", action="store_true")
