@@ -42,6 +42,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="synset file (one synset per line) enabling "
                         "METEOR's synonym matcher stage; the output's "
                         "METEOR_variant tag records whether it ran")
+    p.add_argument("--meteor_jar", default="",
+                   help="path to the official meteor-1.5 jar: adds a "
+                        "METEOR_jar score through its -stdio protocol "
+                        "(the reference's documented chain, "
+                        "README.md:74-78; needs java)")
+    p.add_argument("--spice_jar", default="",
+                   help="path to the official SPICE jar: adds SPICE + "
+                        "SPICE_breakdown through its JSON protocol "
+                        "(needs java)")
     return p
 
 
@@ -58,6 +67,16 @@ def main(argv=None):
     scores = metrics.score_predictions(preds, gt, meteor_synonyms=synonyms)
     result = {k: v if isinstance(v, str) else round(float(v), 6)
               for k, v in scores.items()}
+    if args.meteor_jar:
+        from ..eval import jar_metrics
+        m = jar_metrics.meteor_jar_score(preds, gt, jar=args.meteor_jar)
+        result["METEOR_jar"] = round(float(m["METEOR"]), 6)
+    if args.spice_jar:
+        from ..eval import jar_metrics
+        s = jar_metrics.spice_jar_score(preds, gt, jar=args.spice_jar)
+        result["SPICE"] = round(float(s["SPICE"]), 6)
+        result["SPICE_breakdown"] = {k: round(float(v), 6)
+                                     for k, v in s["SPICE_breakdown"].items()}
     if args.pycoco:
         from ..eval import pycoco_adapter
         if pycoco_adapter.pycocoevalcap_available():

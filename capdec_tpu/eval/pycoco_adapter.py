@@ -12,10 +12,11 @@ present, and skips otherwise (it is not installed in the zero-egress
 build container). The fixture JSONs ship in tests/fixtures/ so a
 weights-bearing round runs this with zero setup.
 
-METEOR/SPICE are excluded by design: pycocoevalcap's METEOR jar uses
-WordNet synonym + paraphrase stages the in-repo variant intentionally
-omits (eval/metrics.py module docstring), and SPICE is a Java pipeline
-documented as external (docs/ROADMAP.md).
+METEOR/SPICE are excluded here by design: pycocoevalcap's METEOR jar
+uses WordNet synonym + paraphrase stages the in-repo variant
+intentionally omits (eval/metrics.py module docstring), and SPICE is a
+Java pipeline. For those, eval/jar_metrics.py drives the official jars
+directly over their own wire protocols when the user supplies them.
 """
 from __future__ import annotations
 
