@@ -252,6 +252,17 @@ class BeamConfig:
     # temperature == 1 (the reference default). None = auto (on on TPU;
     # measured 232.8 -> 246.7 caps/s at N=512).
     fused_lm_head: Optional[bool] = None
+    # Full-size cache allocation with stage-bounded READS: allocate the
+    # entire entry_length cache once and bound each stage's attention
+    # reads with a static slot cap in the fused kernel's BlockSpecs
+    # (ops/decode_attention.py e_cap) instead of growing the allocation
+    # between stages. Keeps staging's ~40% read-traffic saving while
+    # eliminating the 7 grow copies (~5% of the N=512 run, profiled
+    # round-4) and the growth transient that OOM'd N=640. Exact — the
+    # same slots are read either way. None = auto (on with the fused
+    # v2 kernel in lane mode; the chunked v3 kernel bounds by step
+    # already and keeps its own staging).
+    full_alloc: Optional[bool] = None
     # Perf-ablation ONLY: skip the cache permutation entirely. Results are
     # WRONG; this measures the no-reorder floor of the decode step.
     skip_reorder_unsafe: bool = False
@@ -305,7 +316,10 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
                       else gpt2.init_gen_cache)
     buckets = staging.stage_buckets(
         E_pad, bc.cache_stages if use_lanes else 1, align)
-    gen_cache = init_cache(cfg, N * R, buckets[0])
+    # full_alloc: one full-size allocation; the buckets become static
+    # read caps (e_cap) instead of allocation sizes.
+    gen_cache = init_cache(cfg, N * R,
+                           buckets[-1] if bc.full_alloc else buckets[0])
     cur = gpt2.embed_tokens(params, toks0.reshape(N * R))  # [B, D]
     # anc[n, rq, rs, e] == 1: beam rq's slot-e K/V live in cache row rs.
     # Slot e's ancestry is set when it is written (identity: each row
@@ -331,7 +345,13 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
                                    jnp.logical_not(jnp.all(stopped)))
         return cond
 
-    def body(carry):
+    def make_body(e_cap):
+        # e_cap (static, full_alloc mode): this stage's read bound for the
+        # fused attention kernels; None outside full_alloc (the cache
+        # allocation itself is stage-sized there).
+        return functools.partial(body, e_cap=e_cap)
+
+    def body(carry, e_cap=None):
         (i, tokens, scores, seq_lengths, is_stopped, cur, gen_cache, anc,
          lane_of_rank, pending_src) = carry
         if use_lanes and not bc.skip_reorder_unsafe:
@@ -371,7 +391,8 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
             fused_interpret=bc.fused_interpret,
             fused_block_beams=bc.fused_block_beams,
             fused_slot_chunks=int(bc.fused_slot_chunks or 0),
-            return_hidden=bool(bc.fused_lm_head))
+            return_hidden=bool(bc.fused_lm_head),
+            e_cap=e_cap)
         # Per-beam candidate reduction: adding the per-beam score and
         # dividing by the per-beam length are monotonic within a beam, so
         # the global flat top-R over beam*vocab can only select tokens from
@@ -491,10 +512,14 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
     carry = (jnp.asarray(1, jnp.int32), tokens, scores, seq_lengths,
              is_stopped, cur, gen_cache, anc, lane_of_rank, pending_src)
     for si, bucket in enumerate(buckets):
-        carry = lax.while_loop(make_cond(bucket), body, carry)
-        if si + 1 < len(buckets):
+        carry = lax.while_loop(
+            make_cond(bucket),
+            make_body(bucket if bc.full_alloc else None), carry)
+        if si + 1 < len(buckets) and not bc.full_alloc:
             # Grow the cache for the next stage; skip the copy when every
             # beam already stopped (the remaining stages no-op).
+            # (full_alloc: the cache is already full-size — the next
+            # stage just reads with a larger e_cap, nothing moves.)
             (i, tokens, scores, seq_lengths, is_stopped, cur, gc, anc,
              lane_of_rank, pending_src) = carry
             bigger = init_cache(cfg, N * R, buckets[si + 1])
@@ -572,9 +597,19 @@ def resolve_config(bc: BeamConfig,
         # tables) — the finer chunk grid's per-program overhead exceeds
         # the DMA it saves. Default to v2; v3 stays opt-in.
         bc = dataclasses.replace(bc, fused_slot_chunks=0)
-    if bc.bounded_fork_copy is None:
+    if bc.full_alloc is None:
+        # full-size allocation + e_cap-bounded reads: measured round-4
+        # (same staged read traffic, no grow copies/transient). Fused v2
+        # lane path only — v3 (fused_slot_chunks) keeps its own staging.
         bc = dataclasses.replace(
-            bc, bounded_fork_copy=bool(bc.fused_slot_chunks)
+            bc, full_alloc=bool(bc.fused_attention)
+            and not bc.fused_slot_chunks and bc.lane_beams
+            and bc.rowmajor_cache and not bc.ancestry)
+    if bc.bounded_fork_copy is None:
+        # with a full-size cache, whole-row fork copies would move the
+        # unwritten tail — bound them by the written-slot count
+        bc = dataclasses.replace(
+            bc, bounded_fork_copy=bool(bc.fused_slot_chunks or bc.full_alloc)
             and bool(bc.pallas_reorder) and bc.rowmajor_cache)
     if bc.int8_prefix is None:
         bc = dataclasses.replace(

@@ -453,7 +453,8 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                 fused_interpret: bool = False,
                 fused_block_beams: int = 20,
                 fused_slot_chunks: int = 0,
-                return_hidden: bool = False
+                return_hidden: bool = False,
+                e_cap: Optional[int] = None
                 ) -> Tuple[jnp.ndarray, Params]:
     """One decode step over split caches.
 
@@ -479,6 +480,13 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
     `rowmajor=True` reads a [B, L, E, D] gen cache (init_gen_cache_rowmajor)
     — per-layer slices inside the scan, contiguous per-beam rows outside,
     making the beam permutation one whole-row DMA per beam.
+
+    `e_cap` (static): bound the fused rowmajor kernels' generated-cache
+    reads to the first e_cap slots (BeamConfig.full_alloc: full-size
+    allocation, stage-bounded reads). Caller guarantees step < e_cap.
+    Ignored by the chunked kernels (already step-bounded) and the XLA
+    paths (the validity mask handles correctness; their slice costs
+    don't scale with the allocation the same way).
     """
     B, D = token_embed.shape
     L, N, K, _ = prefix_cache["k"].shape
@@ -652,7 +660,7 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                         q, k_new, v_new, pk_all, pv_all, genk, genv,
                         gks, gvs, step, l, beams_per_image=R, head_dim=hd,
                         block_beams=fused_block_beams,
-                        interpret=fused_interpret)
+                        interpret=fused_interpret, e_cap=e_cap)
 
                 return body_core(x, layer, None, None, None, None,
                                  attn_fn=attn_fn)
@@ -689,7 +697,7 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                         q, k_new, v_new, pk_all, pv_all, genk, genv,
                         step, l, beams_per_image=R, head_dim=hd,
                         block_beams=fused_block_beams,
-                        interpret=fused_interpret)
+                        interpret=fused_interpret, e_cap=e_cap)
 
                 return body_core(x, layer, None, None, None, None,
                                  attn_fn=attn_fn)

@@ -27,7 +27,7 @@ makes this kernel runnable on CPU for tests.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -606,23 +606,29 @@ def beam_decode_attention_chunked_q(
 
 @functools.partial(jax.jit,
                    static_argnames=("beams_per_image", "head_dim",
-                                    "block_beams", "interpret"))
+                                    "block_beams", "interpret", "e_cap"))
 def beam_decode_attention_rowmajor_q(
         q: jnp.ndarray, k_new: jnp.ndarray, v_new: jnp.ndarray,
         pk: jnp.ndarray, pv: jnp.ndarray, gk: jnp.ndarray, gv: jnp.ndarray,
         gks: jnp.ndarray, gvs: jnp.ndarray,
         step: jnp.ndarray, layer: jnp.ndarray, *, beams_per_image: int,
         head_dim: int, block_beams: int = 20,
-        interpret: bool = False) -> jnp.ndarray:
+        interpret: bool = False,
+        e_cap: Optional[int] = None) -> jnp.ndarray:
     """`beam_decode_attention_rowmajor` over an int8 generated cache.
 
     gk/gv: int8 [B, L, E, D]; gks/gvs: f32 [B, L, 1, E] per-slot absmax
     scales (value = level * scale). Streaming the generated cache at
     half the bytes buys ~25% beam-decode throughput; results are NOT
-    bitwise comparable to the bf16 path (8-bit K/V quantization)."""
+    bitwise comparable to the bf16 path (8-bit K/V quantization).
+    `e_cap`: stage-bounded slot reads, as in the bf16 kernel."""
     B, D = q.shape
     L, N, K, _ = pk.shape
     E = gk.shape[2]
+    if e_cap is not None:
+        if not 0 < e_cap <= E:
+            raise ValueError(f"e_cap {e_cap} out of range for E={E}")
+        E = e_cap
     R = beams_per_image
     if B % R:
         raise ValueError(f"batch {B} is not a multiple of beams_per_image {R}")
@@ -668,14 +674,15 @@ def beam_decode_attention_rowmajor_q(
 @functools.partial(jax.jit,
                    static_argnames=("beams_per_image", "head_dim",
                                     "block_beams", "interpret",
-                                    "vector_reduce"))
+                                    "vector_reduce", "e_cap"))
 def beam_decode_attention_rowmajor(
         q: jnp.ndarray, k_new: jnp.ndarray, v_new: jnp.ndarray,
         pk: jnp.ndarray, pv: jnp.ndarray, gk: jnp.ndarray, gv: jnp.ndarray,
         step: jnp.ndarray, layer: jnp.ndarray, *, beams_per_image: int,
         head_dim: int, block_beams: int = 20,
         interpret: bool = False,
-        vector_reduce: bool = False) -> jnp.ndarray:
+        vector_reduce: bool = False,
+        e_cap: Optional[int] = None) -> jnp.ndarray:
     """Fused decode attention over row-major caches (v2, production).
 
     q/k_new/v_new: [B, D]; pk/pv: [L, N, K, D] (full prefix cache);
@@ -684,10 +691,21 @@ def beam_decode_attention_rowmajor(
     Returns attn_out [B, D] f32. The caller writes the new K/V slot
     separately (`ops.cache_reorder.write_gen_slot`), keeping this kernel
     alias-free so the pipeline double-buffers cache reads.
+
+    `e_cap` (static, <= E, 8-aligned): stream only the first e_cap slots
+    of the generated cache. With a full-size allocation and stage-bounded
+    caps (BeamConfig.full_alloc) this keeps the staged-read traffic
+    saving WITHOUT the stage-growth copies or their transient double
+    allocation — the caller guarantees step <= e_cap so masking (slot <
+    step) is unaffected.
     """
     B, D = q.shape
     L, N, K, _ = pk.shape
     E = gk.shape[2]
+    if e_cap is not None:
+        if not 0 < e_cap <= E:
+            raise ValueError(f"e_cap {e_cap} out of range for E={E}")
+        E = e_cap
     R = beams_per_image
     if B % R:
         raise ValueError(f"batch {B} is not a multiple of beams_per_image {R}")

@@ -383,6 +383,36 @@ def test_beam_fused_attention_matches_xla_path(models, chunk_write,
     np.testing.assert_array_equal(r1[3], r2[3])  # order
 
 
+@pytest.mark.parametrize("kv_int8", [False, True])
+@pytest.mark.slow
+def test_beam_full_alloc_matches_staged_growth(models, kv_int8):
+    """full_alloc (one full-size cache, stage-bounded e_cap reads in the
+    fused kernels) is bit-identical to staged growth: the same slots are
+    read either way, only the allocation strategy differs. Covers the
+    bounded fork copy against a full-size cache (unwritten tails must
+    never move or be read) and both cache dtypes. entry_length 40
+    crosses several stage caps."""
+    tm, params, cfg = models
+    K, E, R = 6, 40, 4
+    prefixes = _random_prefixes(3, K, SMALL["n_embd"], seed=47)
+    base = dict(beam_size=R, entry_length=E, stop_token=13,
+                fused_attention=True, fused_interpret=True,
+                cache_stages=4, kv_cache_int8=kv_int8,
+                pallas_reorder=True)
+    bc_staged = BeamConfig(full_alloc=False, **base)
+    bc_full = BeamConfig(full_alloc=True, bounded_fork_copy=True, **base)
+    r1 = jax.tree.map(np.asarray,
+                      beam_search(params, cfg, jnp.asarray(prefixes),
+                                  bc_staged))
+    r2 = jax.tree.map(np.asarray,
+                      beam_search(params, cfg, jnp.asarray(prefixes),
+                                  bc_full))
+    np.testing.assert_array_equal(r1[0], r2[0])  # tokens
+    np.testing.assert_array_equal(r1[1], r2[1])  # lengths
+    np.testing.assert_allclose(r1[2], r2[2], rtol=0, atol=0)  # scores
+    np.testing.assert_array_equal(r1[3], r2[3])  # order
+
+
 @pytest.mark.slow
 def test_beam_int8_kv_cache_agrees_with_fp_path(models):
     """Opt-in int8 KV cache (production serving knob): decodes valid
@@ -626,7 +656,9 @@ def test_auto_config_resolution(monkeypatch):
     bc = beam_mod.resolve_config(BeamConfig())
     assert bc.pallas_reorder and bc.fused_attention and bc.chunk_slot_write
     assert bc.fused_slot_chunks == 0          # v3 rejected on hardware
-    assert bc.bounded_fork_copy is False      # rides with slot_chunks
+    assert bc.full_alloc is True              # 252.5 -> 254.4 @512 (r4),
+    #                                           kills the N=640 OOM cliff
+    assert bc.bounded_fork_copy is True       # full-size rows: bound moves
     assert bc.fused_lm_head is True           # 232.8 -> 250.8 caps/s
     assert bc.cache_stages == 8
     # temperature != 1 forces the XLA logits path (kernel can't scale)
