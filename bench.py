@@ -314,13 +314,15 @@ def section_train(args):
             if sps > best_sps:
                 best_sps, best_bs, best_flops = sps, bs_opt, flops
     out.update(train_samples_per_sec_best=best_sps, train_best_batch=best_bs)
+    # Always report the analytic FLOPs: the orchestrator recomputes MFU
+    # from them if the peak section only succeeds on its late retry.
+    out["train_model_flops_per_step"] = best_flops
+    xla_flops = getattr(measure_train, "xla_flops", 0.0)
+    if xla_flops:
+        out["train_xla_cost_analysis_flops"] = xla_flops  # diagnostic
     if best_flops > 0 and args.peak_flops > 0:
         step_t_best = best_bs / best_sps
         out["train_mfu_best"] = best_flops / step_t_best / args.peak_flops
-        out["train_model_flops_per_step"] = best_flops
-        xla_flops = getattr(measure_train, "xla_flops", 0.0)
-        if xla_flops:
-            out["train_xla_cost_analysis_flops"] = xla_flops  # diagnostic
     else:
         out["train_mfu_best"] = -1.0
     return out
@@ -535,7 +537,7 @@ def main():
 
     try:
         # 1. matmul peak (MFU denominator) — empty chip, own process.
-        peak, err = _run_section("peak", timeout=900)
+        peak, err = _run_section("peak", timeout=1200)
         note(err)
         peak_flops = (peak or {}).get("peak_flops", 0.0)
         if peak_flops:
@@ -596,6 +598,25 @@ def main():
                 train["train_samples_per_sec_best"], 1)
             out["train_best_batch"] = train["train_best_batch"]
             out["train_mfu_best"] = round(train["train_mfu_best"], 3)
+
+        # 6b. late peak retry: a transiently-loaded machine can starve the
+        # first peak attempt (r4: a 900s timeout there silently cost the
+        # whole run its MFU). The train section always reports its
+        # analytic FLOPs, so MFU is recomputable here.
+        if not peak_flops:
+            peak, err = _run_section("peak", timeout=1200)
+            note(err)
+            peak_flops = (peak or {}).get("peak_flops", 0.0)
+            if peak_flops:
+                out["measured_peak_tflops"] = round(peak_flops / 1e12, 1)
+        if (peak_flops and train
+                and out.get("train_mfu_best", -1.0) <= 0
+                and train.get("train_model_flops_per_step", 0) > 0):
+            step_t = (train["train_best_batch"]
+                      / train["train_samples_per_sec_best"])
+            out["train_mfu_best"] = round(
+                train["train_model_flops_per_step"] / step_t / peak_flops,
+                3)
 
         # 7. reference-structure training baseline.
         tb, err = _run_section("train_baseline", timeout=1200)
