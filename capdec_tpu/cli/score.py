@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="synset file (one synset per line) enabling "
                         "METEOR's synonym matcher stage; the output's "
                         "METEOR_variant tag records whether it ran")
+    p.add_argument("--meteor_paraphrases", default="",
+                   help="paraphrase table (`phrase ||| phrase` per line, "
+                        "Meteor-1.5 3-field lines accepted) enabling "
+                        "METEOR's paraphrase matcher stage; recorded in "
+                        "METEOR_variant")
     p.add_argument("--meteor_jar", default="",
                    help="path to the official meteor-1.5 jar: adds a "
                         "METEOR_jar score through its -stdio protocol "
@@ -64,7 +69,10 @@ def main(argv=None):
         gt = json.load(f)
     synonyms = (metrics.load_synonyms(args.meteor_synonyms)
                 if args.meteor_synonyms else None)
-    scores = metrics.score_predictions(preds, gt, meteor_synonyms=synonyms)
+    paraphrases = (metrics.load_paraphrases(args.meteor_paraphrases)
+                   if args.meteor_paraphrases else None)
+    scores = metrics.score_predictions(preds, gt, meteor_synonyms=synonyms,
+                                       meteor_paraphrases=paraphrases)
     result = {k: v if isinstance(v, str) else round(float(v), 6)
               for k, v in scores.items()}
     if args.meteor_jar:

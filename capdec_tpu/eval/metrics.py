@@ -15,15 +15,16 @@ follows the pycocoevalcap algorithm exactly:
   * CIDEr-D: tf-idf 1-4grams with candidate-count clipping, length
     gaussian penalty sigma=6, *10 scaling.
   * METEOR: exact+stem matchers by default (Porter stemmer, alpha=0.9,
-    beta=3, gamma=0.5 — the classic METEOR formulation), plus an
-    OPTIONAL synonym matcher stage fed by a user-supplied synset file
-    (`load_synonyms`; WordNet itself is an external resource this
-    zero-egress repo cannot ship). Without a synset file, scores are
-    typically slightly LOWER than the jar METEOR pycocoevalcap shells
-    out to (which always has WordNet + paraphrase tables); every score
-    dict therefore carries a `METEOR_variant` tag — "exact+stem" or
-    "exact+stem+synonym" — so numbers are never silently incomparable.
-    SPICE (Java scene-graph parser) is not re-implemented.
+    beta=3, gamma=0.5 — the classic METEOR formulation), plus OPTIONAL
+    synonym and paraphrase matcher stages fed by user-supplied data
+    files (`load_synonyms` / `load_paraphrases`; WordNet and the Meteor
+    paraphrase tables are external resources this zero-egress repo
+    cannot ship). With neither file, scores are typically slightly
+    LOWER than the jar METEOR pycocoevalcap shells out to (which always
+    has WordNet + paraphrase tables); every score dict therefore
+    carries a `METEOR_variant` tag — "exact+stem" through
+    "exact+stem+synonym+paraphrase" — so numbers are never silently
+    incomparable. SPICE (Java scene-graph parser) is not re-implemented.
 
 Inputs use the COCO format: {image_id: [captions...]} for both candidates
 (single-element lists) and references.
@@ -421,6 +422,49 @@ def load_synonyms(path: str) -> SynonymTable:
     return {w: frozenset(s) for w, s in table.items()}
 
 
+# phrase (tuple of words) -> set of equivalent phrases; symmetric closure
+# built at load time. Matched on SURFACE tokens, like the Meteor jar's
+# paraphrase module (no stemming inside paraphrase entries).
+ParaphraseTable = Dict[Tuple[str, ...], set]
+
+
+def load_paraphrases(path: str, max_phrase_len: int = 6) -> ParaphraseTable:
+    """Load a paraphrase table for METEOR's paraphrase matcher stage.
+
+    Format: one pair per line, `phrase1 ||| phrase2` (lowercase,
+    whitespace-tokenized phrases); an optional leading numeric field
+    (`prob ||| phrase1 ||| phrase2`, the Meteor-1.5 table layout) is
+    accepted and ignored. Blank lines and `#` comments are skipped, the
+    closure is symmetric, and phrases longer than `max_phrase_len`
+    words are dropped (alignment cost guard). Such a file is easy to
+    export from the official Meteor paraphrase .gz in environments that
+    have it; this zero-egress repo bundles only the test fixture
+    (tests/fixtures/meteor_paraphrases.txt)."""
+    table: Dict[Tuple[str, ...], set] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            fields = [fd.strip() for fd in line.split("|||")]
+            if len(fields) == 3:
+                try:
+                    float(fields[0])
+                    fields = fields[1:]
+                except ValueError:
+                    pass
+            if len(fields) != 2:
+                continue
+            a = tuple(fields[0].lower().split())
+            b = tuple(fields[1].lower().split())
+            if (not a or not b or a == b
+                    or len(a) > max_phrase_len or len(b) > max_phrase_len):
+                continue
+            table.setdefault(a, set()).add(b)
+            table.setdefault(b, set()).add(a)
+    return table
+
+
 def _meteor_align(cand: List[str], ref: List[str], beam: int = 40,
                   synonyms: SynonymTable = None) -> Tuple[int, int]:
     """Alignment maximizing matches and, among maximal matchings,
@@ -474,13 +518,96 @@ def _meteor_align(cand: List[str], ref: List[str], beam: int = 40,
     return best_m, best_ch
 
 
+def _meteor_align_units(cand: List[str], ref: List[str], beam: int = 40,
+                        synonyms: SynonymTable = None,
+                        paraphrases: ParaphraseTable = None
+                        ) -> Tuple[int, int, int]:
+    """`_meteor_align` generalized to multi-word match units, enabling
+    the paraphrase matcher stage (phrase-pair matches from
+    `load_paraphrases`; possibly different lengths on the two sides —
+    the Meteor jar's paraphrase module). Word-level units still match
+    by exact token, Porter stem, or shared synset; a phrase unit
+    occupies contiguous spans on both sides and counts every covered
+    word as matched. Returns (matched_cand_words, matched_ref_words,
+    chunks); with word-only units the two counts coincide and the
+    result equals `_meteor_align` (tested)."""
+    stems_r = [porter_stem(r) for r in ref]
+    empty = frozenset()
+    syn_r = ([(synonyms.get(r, empty)) for r in ref]
+             if synonyms else [empty] * len(ref))
+    paraphrases = paraphrases or {}
+    max_plen = max((len(p) for p in paraphrases), default=1)
+    # ref phrase -> start positions, for paraphrase target lookup
+    ref_spans: Dict[Tuple[str, ...], List[int]] = {}
+    for j in range(len(ref)):
+        for lr in range(1, min(max_plen, len(ref) - j) + 1):
+            ref_spans.setdefault(tuple(ref[j:j + lr]), []).append(j)
+    # units[i] = list of (c_len, r_start, r_len) matches starting at cand i
+    units: List[List[Tuple[int, int, int]]] = []
+    for i, c in enumerate(cand):
+        opts: List[Tuple[int, int, int]] = []
+        sc = porter_stem(c)
+        syn_c = synonyms.get(c, empty) if synonyms else empty
+        for j, r in enumerate(ref):
+            if r == c or stems_r[j] == sc or (syn_c & syn_r[j]):
+                opts.append((1, j, 1))
+        for lc in range(1, min(max_plen, len(cand) - i) + 1):
+            for target in paraphrases.get(tuple(cand[i:i + lc]), ()):
+                for j in ref_spans.get(target, ()):
+                    if (lc, j, len(target)) not in opts:
+                        opts.append((lc, j, len(target)))
+        units.append(opts)
+    # state: (used ref positions, last matched ends (ci, rj), next free
+    # cand position) -> (matched cand words, chunks). Ordering: most
+    # total matched words first, then fewest chunks (the METEOR rule).
+    states: Dict[Tuple[frozenset, Tuple[int, int], int], Tuple[int, int]] = {
+        (frozenset(), (-2, -2), 0): (0, 0)}
+    for i in range(len(cand)):
+        new: Dict[Tuple[frozenset, Tuple[int, int], int],
+                  Tuple[int, int]] = {}
+
+        def push(key, mc, ch):
+            cur = new.get(key)
+            if cur is None or (mc + len(key[0]), -ch) > (
+                    cur[0] + len(key[0]), -cur[1]):
+                new[key] = (mc, ch)
+
+        for (used, last, free), (mc, ch) in states.items():
+            push((used, last, free), mc, ch)  # leave cand word i unmatched
+            if i < free:
+                continue  # i is inside an already-chosen phrase unit
+            li, lj = last
+            for (lc, j, lr) in units[i]:
+                span = frozenset(range(j, j + lr))
+                if span & used:
+                    continue
+                adjacent = (li == i - 1 and lj == j - 1)
+                push((used | span, (i + lc - 1, j + lr - 1), i + lc),
+                     mc + lc, ch + (0 if adjacent else 1))
+        ranked = sorted(
+            new.items(),
+            key=lambda kv: (-(kv[1][0] + len(kv[0][0])), kv[1][1]))[:beam]
+        states = dict(ranked)
+    best = (0, 0, 0)
+    for (used, _, _), (mc, ch) in states.items():
+        if (mc + len(used), -ch) > (best[0] + best[1], -best[2]):
+            best = (mc, len(used), ch)
+    return best
+
+
 def meteor(candidates: Dict, references: Dict, alpha: float = 0.9,
            beta: float = 3.0, gamma: float = 0.5,
-           synonyms: SynonymTable = None) -> float:
+           synonyms: SynonymTable = None,
+           paraphrases: ParaphraseTable = None) -> float:
     """METEOR with exact+stem matchers, plus the synonym matcher when a
-    table from `load_synonyms` is supplied (no paraphrase tables — see
-    module docstring). Per image, the best score over references;
-    corpus score = mean over images."""
+    table from `load_synonyms` is supplied and the paraphrase matcher
+    when one from `load_paraphrases` is (see module docstring). Per
+    image, the best score over references; corpus score = mean over
+    images. With a paraphrase table, precision/recall use the matched
+    word counts of each side (phrase pairs may differ in length) and
+    fragmentation divides chunks by the mean of the two counts — the
+    METEOR generalization; without one this reduces exactly to the
+    classic chunks/matches."""
     candidates = _ensure_tokens(candidates)
     references = _ensure_tokens(references)
     scores = []
@@ -493,13 +620,18 @@ def meteor(candidates: Dict, references: Dict, alpha: float = 0.9,
         for ref in refs:
             if not cand or not ref:
                 continue
-            m, ch = _meteor_align(cand, ref, synonyms=synonyms)
-            if m == 0:
+            if paraphrases:
+                mc, mr, ch = _meteor_align_units(
+                    cand, ref, synonyms=synonyms, paraphrases=paraphrases)
+            else:
+                mc, ch = _meteor_align(cand, ref, synonyms=synonyms)
+                mr = mc
+            if mc == 0:
                 continue
-            p = m / len(cand)
-            r = m / len(ref)
+            p = mc / len(cand)
+            r = mr / len(ref)
             fmean = p * r / (alpha * p + (1 - alpha) * r)
-            frag = ch / m
+            frag = ch / ((mc + mr) / 2)
             penalty = gamma * (frag ** beta)
             best = max(best, fmean * (1 - penalty))
         scores.append(best)
@@ -512,13 +644,15 @@ def meteor(candidates: Dict, references: Dict, alpha: float = 0.9,
 
 
 def score_predictions(predictions: List[dict], gt_metrics_format: dict,
-                      meteor_synonyms: SynonymTable = None) -> Dict:
+                      meteor_synonyms: SynonymTable = None,
+                      meteor_paraphrases: ParaphraseTable = None) -> Dict:
     """Score prediction JSON [{"caption","image_id"}] against a reference
     `_metrics_format.json` ({"images":[{"id"}],"annotations":[...]}, the
     format emitted by the Karpathy parser — parse_karpathy.py:33-37).
 
-    `meteor_synonyms`: optional table from `load_synonyms` enabling
-    METEOR's synonym matcher stage. The returned dict always carries
+    `meteor_synonyms` / `meteor_paraphrases`: optional tables from
+    `load_synonyms` / `load_paraphrases` enabling METEOR's synonym and
+    paraphrase matcher stages. The returned dict always carries
     `METEOR_variant` naming the matcher chain that actually ran."""
     refs = defaultdict(list)
     for a in gt_metrics_format["annotations"]:
@@ -535,9 +669,11 @@ def score_predictions(predictions: List[dict], gt_metrics_format: dict,
     b = bleu(cands, refs)
     return {
         "Bleu_1": b[0], "Bleu_2": b[1], "Bleu_3": b[2], "Bleu_4": b[3],
-        "METEOR": meteor(cands, refs, synonyms=meteor_synonyms),
-        "METEOR_variant": ("exact+stem+synonym" if meteor_synonyms
-                           else "exact+stem"),
+        "METEOR": meteor(cands, refs, synonyms=meteor_synonyms,
+                         paraphrases=meteor_paraphrases),
+        "METEOR_variant": ("exact+stem"
+                           + ("+synonym" if meteor_synonyms else "")
+                           + ("+paraphrase" if meteor_paraphrases else "")),
         "ROUGE_L": rouge_l(cands, refs),
         "CIDEr": cider_d(cands, refs),
         "num_images": float(len(cands)),

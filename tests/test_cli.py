@@ -142,3 +142,13 @@ def test_score_cli_on_parity_fixtures(tmp_path, capsys):
         else:
             assert abs(printed[k] - v) < 1e-6
     assert saved == printed
+
+    # optional matcher-stage files flow through to the variant tag
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    main(["--predictions", str(ppath), "--gt", str(gpath),
+          "--meteor_synonyms", os.path.join(fixtures, "meteor_synsets.txt"),
+          "--meteor_paraphrases",
+          os.path.join(fixtures, "meteor_paraphrases.txt")])
+    tagged = json.loads(capsys.readouterr().out)
+    assert tagged["METEOR_variant"] == "exact+stem+synonym+paraphrase"
+    assert tagged["CIDEr"] == printed["CIDEr"]

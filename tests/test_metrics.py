@@ -302,3 +302,87 @@ def test_meteor_synonyms_do_not_outrank_exact_matches():
                                   ["canine", "a", "dog", "runs"],
                                   synonyms=table)
     assert (m, ch) == (3, 1)
+
+
+# ---------------------------------------------------------------------------
+# METEOR paraphrase matcher stage (optional paraphrase-table file)
+# ---------------------------------------------------------------------------
+
+_PARAPHRASES = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "meteor_paraphrases.txt")
+
+
+def test_load_paraphrases_fixture():
+    table = metrics.load_paraphrases(_PARAPHRASES)
+    # symmetric closure, incl. multi-word <-> multi-word
+    assert ("is", "seated", "on") in table[("sits", "on")]
+    assert ("sits", "on") in table[("is", "seated", "on")]
+    assert ("sofa",) in table[("couch",)]
+    # Meteor-1.5 3-field lines (leading probability) accepted
+    assert ("a", "big") in table[("a", "large")]
+    # unequal word counts allowed
+    assert ("small", "child") in table[("toddler",)]
+    # phrases over max_phrase_len are dropped on BOTH sides
+    assert ("short",) not in table
+    assert not any(len(p) > 6 for p in table)
+
+
+def test_unit_aligner_reduces_to_word_aligner_without_paraphrases():
+    """With no paraphrase table the generalized unit aligner must return
+    exactly `_meteor_align`'s (matches, matches, chunks)."""
+    syn = metrics.load_synonyms(_SYNSETS)
+    cases = [
+        (["a", "b"], ["b", "a", "b"], None),
+        (["a", "man", "rides", "a", "wave"],
+         ["wave", "a", "rides", "man", "a"], None),
+        (["dogs", "playing", "happily"], ["dog", "plays", "happy"], None),
+        (["a", "dog", "on", "the", "couch"],
+         ["a", "canine", "on", "the", "sofa"], syn),
+        (["zebra", "xylophone"], ["cat", "mat"], None),
+    ]
+    for cand, ref, synonyms in cases:
+        m, ch = metrics._meteor_align(cand, ref, synonyms=synonyms)
+        mc, mr, ch2 = metrics._meteor_align_units(cand, ref,
+                                                  synonyms=synonyms)
+        assert (mc, mr, ch2) == (m, m, ch), (cand, ref)
+
+
+def test_meteor_paraphrase_stage_unequal_lengths():
+    """A phrase pair with different word counts matches a contiguous span
+    on each side, counts every covered word, and keeps chunk adjacency
+    through the phrase unit."""
+    table = metrics.load_paraphrases(_PARAPHRASES)
+    cand = ["the", "cat", "sits", "on", "the", "mat"]
+    ref = ["the", "cat", "is", "seated", "on", "the", "mat"]
+    # exact: the cat / on the mat -- paraphrase bridges sits-on<->is-seated-on
+    mc, mr, ch = metrics._meteor_align_units(cand, ref, paraphrases=table)
+    assert (mc, mr, ch) == (6, 7, 1)
+    # full coverage both sides, one chunk: P=R=1, frag = 1/mean(6,7)
+    got = metrics.meteor({1: [" ".join(cand)]}, {1: [" ".join(ref)]},
+                         paraphrases=table)
+    assert abs(got - (1 - 0.5 * (2 / 13) ** 3)) < 1e-12
+    # without the table: 'sits' is unmatched and the alignment fragments
+    base = metrics.meteor({1: [" ".join(cand)]}, {1: [" ".join(ref)]})
+    assert got > base
+
+
+def test_meteor_paraphrase_variant_tags_and_isolation():
+    table = metrics.load_paraphrases(_PARAPHRASES)
+    syn = metrics.load_synonyms(_SYNSETS)
+    preds = [{"caption": "a toddler sits on the couch", "image_id": 1}]
+    gt = {"images": [{"id": 1}],
+          "annotations": [{"image_id": 1, "id": 0,
+                           "caption": "a small child is seated on the sofa"}]}
+    s_plain = metrics.score_predictions(preds, gt)
+    s_par = metrics.score_predictions(preds, gt, meteor_paraphrases=table)
+    s_both = metrics.score_predictions(preds, gt, meteor_synonyms=syn,
+                                       meteor_paraphrases=table)
+    assert s_plain["METEOR_variant"] == "exact+stem"
+    assert s_par["METEOR_variant"] == "exact+stem+paraphrase"
+    assert s_both["METEOR_variant"] == "exact+stem+synonym+paraphrase"
+    # toddler/small-child, sits-on/is-seated-on, couch/sofa only match
+    # through the paraphrase stage
+    assert s_par["METEOR"] > s_plain["METEOR"]
+    # the paraphrase stage must not perturb the other scorers
+    for k in ("Bleu_4", "ROUGE_L", "CIDEr"):
+        assert s_par[k] == s_plain[k]
