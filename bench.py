@@ -171,6 +171,9 @@ def section_beam(args):
         bc = dataclasses.replace(bc, cache_stages=args.cache_stages)
     if args.block_beams:
         bc = dataclasses.replace(bc, fused_block_beams=args.block_beams)
+    if args.full_alloc >= 0:
+        # A/B knob: -1 = resolve_config default, 0/1 force off/on
+        bc = dataclasses.replace(bc, full_alloc=bool(args.full_alloc))
 
     def run(prefix_embeds):
         toks, lens, scores, order = beam_search(params["gpt"], cfg.gpt2,
@@ -653,6 +656,7 @@ def _child():
     p.add_argument("--slot-chunks", type=int, default=0)
     p.add_argument("--cache-stages", type=int, default=0)  # 0 = default
     p.add_argument("--block-beams", type=int, default=0)
+    p.add_argument("--full-alloc", type=int, default=-1)  # -1 auto, 0/1 force
     p.add_argument("--peak-flops", type=float, default=0.0)
     p.add_argument("--contract-only", action="store_true")
     args = p.parse_args()

@@ -228,10 +228,17 @@ def _kernel_rm_q(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref,
     with per-(row, layer, slot) absmax scales (written by
     ops.cache_reorder.write_gen_slot_chunk_q). The scales factor out of
     the per-head reductions: scores scale row-wise after the G-matmul and
-    V-scales fold into the probabilities before the spread."""
+    V-scales fold into the probabilities before the spread.
+
+    The scales blocks always carry the FULL slot width and are sliced to
+    the levels' (possibly e_cap-bounded) width in-kernel: their slot dim
+    is the LAST memref dim, and Mosaic only allows last-dim blocks that
+    are 128-multiples or the whole dim — an e_cap-sized block fails to
+    lower on hardware (interpret mode does not check this). They are
+    tiny (f32 per slot), so the extra DMA is noise."""
     TB, _, D = q_ref.shape
     _, TI, K, _ = pk_ref.shape
-    E = gk_ref.shape[2]  # gk_ref: [TB, 1, E, D] int8
+    E = gk_ref.shape[2]  # gk_ref: [TB, 1, E, D] int8; E = e_cap when bounded
     R = beams_per_image
     step = scal_ref[0]
 
@@ -250,8 +257,8 @@ def _kernel_rm_q(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref,
 
     gk = gk_ref[:, 0, :, :].astype(jnp.bfloat16)    # dequant levels [TB,E,D]
     gv = gv_ref[:, 0, :, :].astype(jnp.bfloat16)
-    ks = gks_ref[:, 0, 0, :]                        # [TB, E] f32
-    vs = gvs_ref[:, 0, 0, :]
+    ks = gks_ref[:, 0, 0, :E]                       # [TB, E] f32
+    vs = gvs_ref[:, 0, 0, :E]
     prod_g = gk * q[:, None, :].astype(jnp.bfloat16)
     sg = heads(prod_g.reshape(TB * E, D)).reshape(TB, E, 128)
     sg = sg * (ks * scale)[:, :, None]              # per-slot dequant
@@ -624,10 +631,11 @@ def beam_decode_attention_rowmajor_q(
     `e_cap`: stage-bounded slot reads, as in the bf16 kernel."""
     B, D = q.shape
     L, N, K, _ = pk.shape
-    E = gk.shape[2]
+    E_full = gk.shape[2]
+    E = E_full
     if e_cap is not None:
-        if not 0 < e_cap <= E:
-            raise ValueError(f"e_cap {e_cap} out of range for E={E}")
+        if not 0 < e_cap <= E_full:
+            raise ValueError(f"e_cap {e_cap} out of range for E={E_full}")
         E = e_cap
     R = beams_per_image
     if B % R:
@@ -655,8 +663,10 @@ def beam_decode_attention_rowmajor_q(
                 pl.BlockSpec((1, TI, K, D), lambda i, s: (s[1], i, 0, 0)),
                 pl.BlockSpec((TB, 1, E, D), lambda i, s: (i, s[1], 0, 0)),
                 pl.BlockSpec((TB, 1, E, D), lambda i, s: (i, s[1], 0, 0)),
-                pl.BlockSpec((TB, 1, 1, E), lambda i, s: (i, s[1], 0, 0)),
-                pl.BlockSpec((TB, 1, 1, E), lambda i, s: (i, s[1], 0, 0)),
+                # scales: slot dim is LAST — full width (sliced in-kernel);
+                # an e_cap-sized last-dim block does not lower on hardware
+                pl.BlockSpec((TB, 1, 1, E_full), lambda i, s: (i, s[1], 0, 0)),
+                pl.BlockSpec((TB, 1, 1, E_full), lambda i, s: (i, s[1], 0, 0)),
                 pl.BlockSpec((D, 128), lambda i, s: (0, 0)),
             ],
             out_specs=[
