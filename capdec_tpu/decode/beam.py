@@ -601,10 +601,16 @@ def resolve_config(bc: BeamConfig,
         # full-size allocation + e_cap-bounded reads: measured round-4
         # (same staged read traffic, no grow copies/transient). Fused v2
         # lane path only — v3 (fused_slot_chunks) keeps its own staging.
+        # int8 KV keeps staged growth: its cache is half-size (no OOM
+        # cliff to kill) and the hardware A/B reads 278.5 caps/s staged
+        # vs 265.7 full_alloc at N=512 (docs/PERFORMANCE.md round 4) —
+        # the full-width f32 scales blocks the e_cap mode must carry
+        # (Mosaic last-dim tiling) eat the grow-copy savings.
         bc = dataclasses.replace(
             bc, full_alloc=bool(bc.fused_attention)
             and not bc.fused_slot_chunks and bc.lane_beams
-            and bc.rowmajor_cache and not bc.ancestry)
+            and bc.rowmajor_cache and not bc.ancestry
+            and not bc.kv_cache_int8)
     if bc.bounded_fork_copy is None:
         # with a full-size cache, whole-row fork copies would move the
         # unwritten tail — bound them by the written-slot count

@@ -661,6 +661,10 @@ def test_auto_config_resolution(monkeypatch):
     assert bc.bounded_fork_copy is True       # full-size rows: bound moves
     assert bc.fused_lm_head is True           # 232.8 -> 250.8 caps/s
     assert bc.cache_stages == 8
+    # int8 KV keeps staged growth: 278.5 staged vs 265.7 full_alloc @512
+    # (half-size cache — no OOM cliff for full_alloc to solve)
+    bc_i8 = beam_mod.resolve_config(BeamConfig(kv_cache_int8=True))
+    assert bc_i8.full_alloc is False and bc_i8.fused_attention
     # temperature != 1 forces the XLA logits path (kernel can't scale)
     bc_t = beam_mod.resolve_config(BeamConfig(temperature=0.7))
     assert bc_t.fused_lm_head is False

@@ -134,10 +134,11 @@ def engine_setup():
 @pytest.mark.parametrize("knobs", [
     dict(),                                          # exact production path
     dict(kv_cache_int8=True),                        # int8 KV (serving knob)
+    dict(kv_cache_int8=True, full_alloc=True),       # int8 + explicit e_cap
     dict(fused_slot_chunks=8, cache_stages=1),       # v3 chunked, opt-in
     dict(fused_slot_chunks=8, cache_stages=1,
          kv_cache_int8=True),                        # v3 + int8 (+int8 prefix)
-], ids=["exact", "int8", "v3", "v3-int8"])
+], ids=["exact", "int8", "int8-full-alloc", "v3", "v3-int8"])
 def test_beam_engine_lowers_for_tpu(engine_setup, knobs):
     from capdec_tpu.decode.beam import beam_search, resolve_config
     params, prefix = engine_setup
