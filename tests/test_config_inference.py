@@ -20,6 +20,8 @@ def _roundtrip(cfg):
     return caption_model.config_from_torch_state_dict(sd)
 
 
+@pytest.mark.slow  # full-size param init (~20 s); logic covered by the
+#                    tiny-mapper matrix below
 def test_infer_flagship_config():
     cfg = caption_model.CaptionModelConfig()  # RN50x4 transformer flagship
     assert _roundtrip(cfg) == cfg
@@ -47,9 +49,14 @@ def test_infer_tiny_configs_all_mappers(mapping_type):
 
 
 def test_infer_vit_prefix_dim():
-    """ViT-B/32 checkpoints have prefix_size 512 (train.py:445)."""
-    cfg = caption_model.CaptionModelConfig(prefix_size=512, num_layers=2,
-                                           prefix_length=10, clip_length=10)
+    """ViT-B/32 checkpoints have prefix_size 512 (train.py:445).
+
+    Only the prefix_size inference is under test — the GPT-2 trunk is
+    tiny to keep this in the fast tier."""
+    cfg = caption_model.CaptionModelConfig(
+        prefix_size=512, num_layers=2, prefix_length=10, clip_length=10,
+        gpt2=gpt2.GPT2Config(vocab_size=1000, n_positions=128, n_embd=64,
+                             n_layer=2, n_head=1))
     got = _roundtrip(cfg)
     assert got.prefix_size == 512
     assert got == cfg
@@ -67,6 +74,7 @@ def test_gpt2_config_inference_standard_sizes():
                 got.n_head) == (300, 96, n_embd, n_layer, n_head)
 
 
+@pytest.mark.slow  # builds + exports both CLIP towers twice (~25 s)
 def test_clip_openai_state_dict_roundtrip():
     """params -> OpenAI layout -> params is exact, and the architecture
     is recoverable from the exported shapes (both towers)."""
