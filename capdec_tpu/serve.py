@@ -15,6 +15,10 @@ Design for TPU serving:
     requests are waiting or `max_wait_s` elapsed with at least one.
   * Bounded request queue (`max_queue`): producers block when the
     server falls behind — backpressure instead of unbounded memory.
+  * One batch in flight: the serve loop dispatches batch k+1 before
+    blocking on batch k's device->host transfer and detokenization, so
+    the accelerator never idles on host work; the rank-0 beam is
+    selected on device so only [N, E] tokens cross the (slow) D2H link.
   * Per-request latency (enqueue -> caption yielded) is recorded;
     `latency_percentiles()` reports p50/p95/p99.
   * The decode engine is the production beam/greedy path (same
@@ -111,9 +115,19 @@ class CaptionServer:
         self.stats = {"batches": 0, "requests": 0, "decode_s": 0.0}
         self._latencies = []
 
-    def caption(self, embeds: np.ndarray) -> List[str]:
-        """Caption `embeds` [n, D], n <= batch_size (padded to the fixed
-        shape; padding rows never reach the caller)."""
+    def _launch(self, embeds: np.ndarray) -> Callable[[], List[str]]:
+        """Enqueue the device work for `embeds` [n, D] (n <= batch_size,
+        padded to the fixed shape) WITHOUT blocking on results. Returns a
+        finisher: calling it blocks on device->host transfer and
+        detokenization and returns the n captions.
+
+        Serving needs only the ranked-first beam per image, so that
+        selection happens ON DEVICE and the finisher fetches [N, E]
+        tokens instead of all beam_size candidates — on this relay's
+        ~10 MB/s D2H link the difference is real wall time. The split
+        lets serve() keep one batch in flight: the device starts batch
+        k+1 the moment k completes, instead of idling through k's
+        transfer + detokenize + k+1's coalescing."""
         import jax.numpy as jnp
 
         cfg = self._cfg
@@ -124,7 +138,6 @@ class CaptionServer:
         x[:n] = embeds
         if cfg.normalize_prefix:
             x = _l2norm(x)
-        t0 = time.perf_counter()
         if self._shard is not None:
             import jax
             x_dev = jax.device_put(x, self._shard)
@@ -135,17 +148,35 @@ class CaptionServer:
             toks, lens, scores, order = beam_search(
                 self._params["gpt"], self._model_cfg.gpt2, prefix,
                 cfg.beam_config)
-            texts = [t[0] for t in
-                     beam_texts(self._tokenizer, toks, lens, order)]
+            rows = jnp.arange(toks.shape[0])
+            top_toks = toks[rows, order[:, 0]]   # [N, E] on device
+            top_lens = lens[rows, order[:, 0]]   # [N]
+
+            def finish() -> List[str]:
+                t = np.asarray(top_toks)
+                ln = np.asarray(top_lens)
+                return [self._tokenizer.decode(t[i, :int(ln[i])])
+                        for i in range(n)]
         else:
             toks, lens = greedy_topp_search(
                 self._params["gpt"], self._model_cfg.gpt2, prefix,
                 cfg.topp_config)
-            texts = topp_texts(self._tokenizer, toks, lens)
-        self.stats["decode_s"] += time.perf_counter() - t0
+
+            def finish() -> List[str]:
+                return topp_texts(self._tokenizer,
+                                  np.asarray(toks)[:n],
+                                  np.asarray(lens)[:n])
         self.stats["batches"] += 1
         self.stats["requests"] += n
-        return texts[:n]
+        return finish
+
+    def caption(self, embeds: np.ndarray) -> List[str]:
+        """Caption `embeds` [n, D], n <= batch_size (padded to the fixed
+        shape; padding rows never reach the caller). Synchronous."""
+        t0 = time.perf_counter()
+        texts = self._launch(embeds)()
+        self.stats["decode_s"] += time.perf_counter() - t0
+        return texts
 
     def submit(self, rid: Any, embed: np.ndarray) -> None:
         """Inject a request into a running serve() loop (thread-safe;
@@ -166,7 +197,15 @@ class CaptionServer:
         yields (id, caption). With stop_on_exhaust (default) the loop
         drains and returns when the iterable ends; with
         stop_on_exhaust=False it keeps serving requests injected via
-        `submit()` until `shutdown()` is called."""
+        `submit()` until `shutdown()` is called.
+
+        The loop keeps ONE batch in flight: each iteration coalesces and
+        dispatches the next batch to the device BEFORE blocking on the
+        previous batch's transfer + detokenization, so the device starts
+        batch k+1 the instant k completes instead of idling through k's
+        host-side finalization. When a finished batch is waiting and no
+        new request is queued, the captions are yielded immediately (the
+        coalescing wait never delays delivery of completed work)."""
         cfg = self._cfg
         q = self._queue
 
@@ -178,12 +217,19 @@ class CaptionServer:
         t = threading.Thread(target=feeder, daemon=True)
         t.start()
         done = False
-        while not done:
+        # (ids, arrivals, finisher) of the batch running on device
+        pending: Optional[Tuple[List[Any], List[float], Callable]] = None
+        while not done or pending is not None:
             batch: List[Tuple[Any, np.ndarray, float]] = []
             deadline = None
-            while len(batch) < cfg.batch_size:
-                timeout = (None if deadline is None
-                           else max(0.0, deadline - time.monotonic()))
+            while not done and len(batch) < cfg.batch_size:
+                if deadline is not None:
+                    timeout = max(0.0, deadline - time.monotonic())
+                elif pending is not None:
+                    timeout = 0.0  # drain what's queued, don't stall the
+                    #                finished batch waiting for traffic
+                else:
+                    timeout = None
                 try:
                     item = q.get(timeout=timeout)
                 except queue.Empty:
@@ -199,19 +245,26 @@ class CaptionServer:
                 batch.append(item)
                 if deadline is None:
                     deadline = time.monotonic() + cfg.max_wait_s
-            if not batch:
-                continue
-            ids = [i for i, _, _ in batch]
-            arrivals = [a for _, _, a in batch]
-            embeds = np.stack([e for _, e, _ in batch]).astype(np.float32)
-            texts = self.caption(embeds)
-            t_done = time.monotonic()
-            for arr in arrivals:
-                self._latencies.append(t_done - arr)
-            if len(self._latencies) > cfg.latency_window:
-                del self._latencies[:-cfg.latency_window]
-            for rid, text in zip(ids, texts):
-                yield rid, text
+            launched = None
+            if batch:
+                ids = [i for i, _, _ in batch]
+                arrivals = [a for _, _, a in batch]
+                embeds = np.stack([e for _, e, _ in batch]).astype(
+                    np.float32)
+                launched = (ids, arrivals, self._launch(embeds))
+            if pending is not None:
+                p_ids, p_arrivals, finish = pending
+                t0 = time.perf_counter()
+                texts = finish()
+                self.stats["decode_s"] += time.perf_counter() - t0
+                t_done = time.monotonic()
+                for arr in p_arrivals:
+                    self._latencies.append(t_done - arr)
+                if len(self._latencies) > cfg.latency_window:
+                    del self._latencies[:-cfg.latency_window]
+                for rid, text in zip(p_ids, texts):
+                    yield rid, text
+            pending = launched
 
     def latency_percentiles(self) -> Dict[str, float]:
         """p50/p95/p99 request latency (seconds, enqueue -> yield) over
