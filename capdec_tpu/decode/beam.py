@@ -657,3 +657,26 @@ def beam_texts(tokenizer, tokens, seq_lengths, order) -> List[List[str]]:
                  for r in range(tokens.shape[1])]
         out.append([texts[r] for r in order[n]])
     return out
+
+
+def beam_top_select(tokens, seq_lengths, order
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rank-0 beam per image, selected ON DEVICE: tokens [N,R,E] -> [N,E],
+    seq_lengths [N,R] -> [N]. Callers that only need the best caption
+    (serving, the eval runner — reference predictions_runner.py:229-232
+    takes `generate_beam(...)[0]`) fetch 1/R of the device->host traffic
+    vs materializing every beam with beam_texts."""
+    rows = jnp.arange(tokens.shape[0])
+    top = order[:, 0]
+    return tokens[rows, top], seq_lengths[rows, top]
+
+
+def beam_top_texts(tokenizer, tokens, seq_lengths, order) -> List[str]:
+    """Best caption per image — identical to
+    `[t[0] for t in beam_texts(...)]` but transfers and detokenizes only
+    the ranked-first beam."""
+    import numpy as np
+    top_toks, top_lens = beam_top_select(tokens, seq_lengths, order)
+    t = np.asarray(top_toks)
+    ln = np.asarray(top_lens)
+    return [tokenizer.decode(t[n, :int(ln[n])]) for n in range(t.shape[0])]

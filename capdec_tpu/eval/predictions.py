@@ -25,7 +25,7 @@ from typing import Any, Callable, List, Optional
 
 import numpy as np
 
-from ..decode import (BeamConfig, ToppConfig, beam_search, beam_texts,
+from ..decode import (BeamConfig, ToppConfig, beam_search, beam_top_texts,
                       greedy_topp_search, topp_texts)
 from ..models import caption_model
 from ..utils.meter import Timer
@@ -125,7 +125,9 @@ def run_predictions(records: List[dict],
                 toks, lens, scores, order = beam_search(
                     params["gpt"], model_cfg.gpt2, prefix_embeds,
                     cfg.beam_config)
-                texts = [t[0] for t in beam_texts(tokenizer, toks, lens, order)]
+                # rank-0 beam only (reference takes generate_beam(...)[0],
+                # predictions_runner.py:229-232), selected on device
+                texts = beam_top_texts(tokenizer, toks, lens, order)
             else:
                 toks, lens = greedy_topp_search(
                     params["gpt"], model_cfg.gpt2, prefix_embeds,

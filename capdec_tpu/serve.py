@@ -34,7 +34,7 @@ from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
 
-from .decode import (BeamConfig, ToppConfig, beam_search, beam_texts,
+from .decode import (BeamConfig, ToppConfig, beam_search, beam_top_select,
                      greedy_topp_search, topp_texts)
 from .models import caption_model
 
@@ -148,9 +148,8 @@ class CaptionServer:
             toks, lens, scores, order = beam_search(
                 self._params["gpt"], self._model_cfg.gpt2, prefix,
                 cfg.beam_config)
-            rows = jnp.arange(toks.shape[0])
-            top_toks = toks[rows, order[:, 0]]   # [N, E] on device
-            top_lens = lens[rows, order[:, 0]]   # [N]
+            # [N, E] / [N] on device — D2H is 1/beam_size of beam_texts
+            top_toks, top_lens = beam_top_select(toks, lens, order)
 
             def finish() -> List[str]:
                 t = np.asarray(top_toks)

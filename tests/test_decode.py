@@ -636,6 +636,22 @@ def test_greedy_fused_lm_head_matches_xla_path(models):
                                       sample=True))
 
 
+def test_beam_top_texts_matches_ranked_first(models):
+    """beam_top_texts (device-side rank-0 selection, used by serving and
+    the eval runner) must equal `[t[0] for t in beam_texts(...)]`."""
+    from capdec_tpu.decode import beam_texts, beam_top_texts
+    from capdec_tpu.utils.tokenizer import ByteTokenizer
+    _, params, cfg = models
+    rng = np.random.RandomState(11)
+    prefix = jnp.asarray(rng.randn(4, 3, SMALL["n_embd"]), jnp.float32)
+    toks, lens, scores, order = beam_search(
+        params, cfg, prefix, BeamConfig(beam_size=3, entry_length=7,
+                                        stop_token=5))
+    tok = ByteTokenizer()
+    assert beam_top_texts(tok, toks, lens, order) == \
+        [t[0] for t in beam_texts(tok, toks, lens, order)]
+
+
 def test_auto_config_resolution(monkeypatch):
     """The None (auto) knobs resolve to the measured production configs:
     TPU -> fused attention v2 (slot_chunks=0) + fused LM head; CPU ->
