@@ -31,10 +31,39 @@ D2H fetch of the result — the only operation that provably waits — and
 stack can serve a repeat. For the naive reference baseline the per-step
 host sync is also faithful: the reference's beam loop syncs every step
 (`if is_stopped.all(): break`, gpt2_prefix_eval.py:108).
+
+TIMEOUT-PROOF STRUCTURE (round-5, after r3 rc=1 and r4 rc=124 both left
+`parsed: null`): measured this round, a single first-execution of a
+GPT-2-sized program through the remote-compile relay costs anywhere from
+30 s to 1300 s — the SAME mapper program compiled in 219 s and 1266 s
+twenty minutes apart — while post-compile timed runs are stable to 0.5%.
+Neither the client persistent cache nor any server-side cache reliably
+covers these programs, so compile cost is unpredictable external
+contention and no ordering can guarantee every section fits the driver
+budget. Therefore:
+  * the current best-effort JSON line is printed+flushed to stdout after
+    EVERY section (last line wins) and again from a SIGTERM/SIGINT
+    handler — a kill at any moment leaves everything measured so far;
+  * the orchestrator keeps its own wall-clock deadline
+    (CAPDEC_BENCH_BUDGET seconds, default 1620 — inside the driver's
+    observed ~1800 s cap) and SKIPS remaining sections when the budget
+    runs out, exiting 0 with `sections_skipped` listing what was cut;
+  * sections run in strict information-value order: the headline beam
+    number first, then the MFU/peak and training-baseline fields the
+    BASELINE.md table needs, then the serving/embed/int8/greedy extras;
+  * warmup-only programs were cut: the beam/greedy sections previously
+    compiled the prefix mapper (one 219–1266 s first-run) just to build
+    inputs OUTSIDE the timed region — prefix embeddings are now
+    synthesized on device by a trivial program (decode throughput does
+    not depend on how the prefixes were produced; weights are random
+    either way);
+  * per-iteration times use the MEDIAN, so one contention spike cannot
+    skew a headline number.
 """
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -101,6 +130,28 @@ def section_peak(args):
     return {"peak_flops": peak}
 
 
+def _synth_prefixes(jax, n, k, d, iters):
+    """Device-resident prefix-embedding batches, one DISTINCT buffer per
+    timed iteration. Replaces running the jitted mapper to build inputs:
+    the mapper ran OUTSIDE the timed region anyway, so its only bench
+    contribution was a 219–1266 s first-run compile (measured round 5) —
+    decode throughput does not depend on how the prefixes were made."""
+    import jax.numpy as jnp
+    gen = jax.jit(lambda key: jax.random.normal(key, (n, k, d), jnp.float32))
+    out = []
+    for i in range(iters):
+        p = gen(jax.random.PRNGKey(i))
+        np.asarray(p[0, 0, :1])  # sync: resident before timing starts
+        out.append(p)
+    return out
+
+
+def _median(xs):
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else 0.5 * (s[m - 1] + s[m])
+
+
 def section_naive_decode(args):
     """Reference-algorithm decode baseline on the same chip: batch-1,
     beam-5, no KV cache — re-forward the full growing sequence every step
@@ -121,13 +172,14 @@ def section_naive_decode(args):
 
     rng = np.random.RandomState(0)
     seqs = [jnp.asarray(rng.randn(5, cfg.prefix_length + E // 2, 768),
-                        jnp.float32) for _ in range(10)]
+                        jnp.float32) for _ in range(6)]
     np.asarray(naive_step(params["gpt"], seqs[0]))  # compile, synced
-    t0 = time.perf_counter()
+    times = []
     for seq in seqs:  # distinct input every step: no memo can serve it
+        t0 = time.perf_counter()
         np.asarray(naive_step(params["gpt"], seq)[0, :1])
-    step_t = (time.perf_counter() - t0) / len(seqs)
-    return {"baseline_captions_per_sec": 1.0 / (step_t * E)}
+        times.append(time.perf_counter() - t0)
+    return {"baseline_captions_per_sec": 1.0 / (_median(times) * E)}
 
 
 def section_beam(args):
@@ -139,7 +191,6 @@ def section_beam(args):
     """
     jax = _jax_init()
     import dataclasses
-    import jax.numpy as jnp
     from capdec_tpu.decode import BeamConfig, beam_search
     from capdec_tpu.models import caption_model
 
@@ -147,15 +198,8 @@ def section_beam(args):
     params = caption_model.init_params(jax.random.PRNGKey(0), cfg)
     N = args.n
     iters = 5
-    rng = np.random.RandomState(0)
-    map_fn = jax.jit(caption_model.map_prefix, static_argnums=(1,))
     # one distinct device-resident prefix batch per timed iteration
-    prefixes = []
-    for _ in range(iters):
-        p = map_fn(params, cfg,
-                   jnp.asarray(rng.randn(N, cfg.prefix_size), jnp.float32))
-        np.asarray(p[0, 0, :1])  # sync the H2D+map out of the timed region
-        prefixes.append(p)
+    prefixes = _synth_prefixes(jax, N, cfg.prefix_length, 768, iters)
 
     # stop disabled: every caption runs the full 67 steps (worst case).
     bc = BeamConfig(beam_size=5, entry_length=67, stop_token=-1)
@@ -180,18 +224,18 @@ def section_beam(args):
                                                 prefix_embeds, bc)
         np.asarray(toks[0, 0, :1])  # D2H fetch = honest sync
 
-    run(prefixes[0])  # compile (persistent-cache backed)
-    t0 = time.perf_counter()
+    run(prefixes[0])  # compile
+    times = []
     for p in prefixes:
+        t0 = time.perf_counter()
         run(p)
-    dt = (time.perf_counter() - t0) / iters
-    return {"captions_per_sec": N / dt, "n": N}
+        times.append(time.perf_counter() - t0)
+    return {"captions_per_sec": N / _median(times), "n": N}
 
 
 def section_greedy(args):
     """Greedy/top-p decode (reference generate2 path) at batch `--ng`."""
     jax = _jax_init()
-    import jax.numpy as jnp
     from capdec_tpu.decode.topp import ToppConfig, greedy_topp_search
     from capdec_tpu.models import caption_model
 
@@ -199,14 +243,7 @@ def section_greedy(args):
     params = caption_model.init_params(jax.random.PRNGKey(0), cfg)
     NG = args.ng
     iters = 5
-    rng = np.random.RandomState(0)
-    map_fn = jax.jit(caption_model.map_prefix, static_argnums=(1,))
-    prefixes = []
-    for _ in range(iters):
-        p = map_fn(params, cfg,
-                   jnp.asarray(rng.randn(NG, cfg.prefix_size), jnp.float32))
-        np.asarray(p[0, 0, :1])
-        prefixes.append(p)
+    prefixes = _synth_prefixes(jax, NG, cfg.prefix_length, 768, iters)
     tc = ToppConfig(entry_length=67, stop_token=-1, extra_stop_token=-1)
 
     def run(greedy_prefix):
@@ -215,12 +252,12 @@ def section_greedy(args):
         np.asarray(toks[0, 0])  # honest D2H sync
 
     run(prefixes[0])  # compile
-    t0 = time.perf_counter()
+    times = []
     for p in prefixes:
+        t0 = time.perf_counter()
         run(p)
-    return {"greedy_captions_per_sec":
-            NG / ((time.perf_counter() - t0) / iters),
-            "ng": NG}
+        times.append(time.perf_counter() - t0)
+    return {"greedy_captions_per_sec": NG / _median(times), "ng": NG}
 
 
 def section_train(args):
@@ -303,12 +340,14 @@ def section_train(args):
     train_sps, contract_flops = measure_train(30)
     out = {"train_samples_per_sec_contract": train_sps}
     # Throughput-optimal batch (VERDICT r2: show the TPU-appropriate number
-    # alongside the parity contract). Measured knee bs=120 on v5e
-    # (scripts/train_scaling.py); 256 is slower, 512 OOMs. Guarded so an
-    # OOM on a different chip degrades to the contract number.
+    # alongside the parity contract). Measured knee bs=120 on v5e across
+    # rounds 3+4 (scripts/train_scaling.py: 256 slower, 512 OOMs), so only
+    # the knee is re-measured — a third compile bought no information and
+    # compile time is the budget killer on this relay. Guarded so an OOM
+    # on a different chip degrades to the contract number.
     best_sps, best_bs, best_flops = train_sps, 30, contract_flops
     if not args.contract_only:
-        for bs_opt in (120, 256):
+        for bs_opt in (120,):
             try:
                 sps, flops = measure_train(bs_opt, K=8)
             except Exception as e:
@@ -479,10 +518,108 @@ def section_train_baseline_torch(args):
         return loss.item()  # per-step host sync (train.py:356)
 
     step(*host_batches[0])  # warmup
+    # Wall-clock-capped: torch-CPU runs ~1 sample/s here (~30 s/step), so
+    # measure whole steps until the 75 s cap and report the per-step rate
+    # — the number is stable step-to-step (same fixed-shape compute).
     t0 = time.perf_counter()
+    steps = 0
     for tok, pre in host_batches:
         step(tok, pre)
-    return {"torch_cpu_train_sps": bs * 3 / (time.perf_counter() - t0)}
+        steps += 1
+        if time.perf_counter() - t0 > 75 and steps >= 1:
+            break
+    return {"torch_cpu_train_sps": bs * steps / (time.perf_counter() - t0),
+            "torch_cpu_steps_timed": steps}
+
+
+def section_serve(args):
+    """End-to-end serving throughput (the framework's headline advantage
+    over the reference's batch-1 offline loop, predictions_runner.py:153-342):
+    CaptionServer.serve() — feeder thread, fixed-shape coalescing, one
+    batch in flight, device-side rank-0 selection, host detokenize —
+    pipelined AND synchronous (caption() per batch) over the same compiled
+    engine, so the A/B isolates the pipeline's win. Requests carry real
+    per-request embeddings (distinct buffers)."""
+    jax = _jax_init()
+    from capdec_tpu import serve as serve_lib
+    from capdec_tpu.models import caption_model
+    from capdec_tpu.utils.tokenizer import load_tokenizer
+
+    cfg = _flagship_cfg()
+    params = caption_model.init_params(jax.random.PRNGKey(0), cfg)
+    B = args.n
+    scfg = serve_lib.ServeConfig(
+        batch_size=B, max_wait_s=0.05,
+        beam_config=serve_lib.BeamConfig(beam_size=5, entry_length=67,
+                                         stop_token=-1))
+    server = serve_lib.CaptionServer(params, cfg, load_tokenizer(), scfg)
+    server.warmup()  # the one compile (map + beam + rank-0 select)
+
+    rng = np.random.RandomState(0)
+    n_req = 3 * B
+    embeds = rng.randn(n_req, cfg.prefix_size).astype(np.float32)
+    out = {}
+    t0 = time.perf_counter()
+    served = sum(1 for _ in server.serve(
+        (i, embeds[i]) for i in range(n_req)))
+    out["serve_captions_per_sec"] = served / (time.perf_counter() - t0)
+    pct = server.latency_percentiles()
+    out["serve_latency_p50_s"] = round(pct["p50"], 3)
+    out["serve_latency_p99_s"] = round(pct["p99"], 3)
+    # synchronous A/B: same engine, no overlap of host finalize with decode
+    t0 = time.perf_counter()
+    served = 0
+    for i in range(0, n_req, B):
+        served += len(server.caption(embeds[i:i + B]))
+    out["serve_sync_captions_per_sec"] = served / (time.perf_counter() - t0)
+    out["serve_batch"] = B
+    return out
+
+
+def section_embed(args):
+    """CLIP ViT-B/32 text-encode throughput, batched+jitted — vs the
+    reference's one-record-per-dispatch structure (embeddings_generator
+    .py:58-89) timed on the same chip with the same per-record host sync
+    the reference's .cpu() forces."""
+    jax = _jax_init()
+    import jax.numpy as jnp
+    from capdec_tpu.models import clip as clip_lib
+
+    cfg = clip_lib.CLIPTextConfig()
+    params = clip_lib.init_text_params(jax.random.PRNGKey(0), cfg)
+    B, iters = 1024, 5
+    rng = np.random.RandomState(0)
+
+    def make_tokens(seed_rng):
+        toks = np.zeros((B, cfg.context_length), np.int32)
+        lens = seed_rng.randint(4, 30, size=B)
+        for i, L in enumerate(lens):
+            toks[i, 0] = 49406
+            toks[i, 1:L - 1] = seed_rng.randint(1, 49000, size=L - 2)
+            toks[i, L - 1] = 49407
+        return jnp.asarray(toks)
+
+    enc = jax.jit(lambda p, t: clip_lib.encode_text(p, cfg, t))
+    batches = [make_tokens(rng) for _ in range(iters)]  # distinct buffers
+    for b in batches:
+        np.asarray(b[0, :1])  # resident before timing
+    np.asarray(enc(params, batches[0])[0, :1])  # compile
+    times = []
+    for b in batches:
+        t0 = time.perf_counter()
+        np.asarray(enc(params, b)[0, :1])
+        times.append(time.perf_counter() - t0)
+    out = {"embed_text_captions_per_sec": B / _median(times)}
+    # reference batch-1 structure: one dispatch + host fetch per record
+    singles = [b[i:i + 1] for i, b in enumerate(batches)]
+    np.asarray(enc(params, singles[0])[0, :1])  # compile the B=1 shape
+    times1 = []
+    for s in singles:
+        t0 = time.perf_counter()
+        np.asarray(enc(params, s)[0, :1])
+        times1.append(time.perf_counter() - t0)
+    out["embed_text_batch1_per_sec"] = 1.0 / _median(times1)
+    return out
 
 
 _SECTIONS = {
@@ -493,12 +630,17 @@ _SECTIONS = {
     "train": section_train,
     "train_baseline": section_train_baseline,
     "train_baseline_torch": section_train_baseline_torch,
+    "serve": section_serve,
+    "embed": section_embed,
 }
 
 
 # ---------------------------------------------------------------------------
 # Orchestrator (parent process) — never imports jax, never crashes.
 # ---------------------------------------------------------------------------
+
+_CURRENT_CHILD = [None]  # Popen of the in-flight section, for the handler
+
 
 def _run_section(name, extra=(), timeout=1800):
     """Run one section in a child process; return (result_dict | None, err)."""
@@ -507,18 +649,25 @@ def _run_section(name, extra=(), timeout=1800):
     print(f"[bench] {' '.join(cmd[1:])}", file=sys.stderr)
     t0 = time.perf_counter()
     try:
-        res = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=timeout, cwd=_REPO)
-    except subprocess.TimeoutExpired:
-        return None, f"{name}: timeout after {timeout}s"
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True, cwd=_REPO)
+        _CURRENT_CHILD[0] = proc
+        try:
+            stdout, stderr = proc.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
+            return None, f"{name}: timeout after {timeout:.0f}s"
+        finally:
+            _CURRENT_CHILD[0] = None
     except Exception as e:  # pragma: no cover - defensive
         return None, f"{name}: {e!r}"
-    if res.stderr:
-        sys.stderr.write(res.stderr[-4000:])
+    if stderr:
+        sys.stderr.write(stderr[-4000:])
     dt = time.perf_counter() - t0
-    if res.returncode != 0:
-        return None, f"{name}: rc={res.returncode}"
-    for line in reversed(res.stdout.strip().splitlines()):
+    if proc.returncode != 0:
+        return None, f"{name}: rc={proc.returncode}"
+    for line in reversed(stdout.strip().splitlines()):
         try:
             out = json.loads(line)
             print(f"[bench] {name} ok in {dt:.0f}s: {line}", file=sys.stderr)
@@ -529,70 +678,87 @@ def _run_section(name, extra=(), timeout=1800):
 
 
 def main():
+    t_start = time.monotonic()
+    budget = float(os.environ.get("CAPDEC_BENCH_BUDGET", "1620"))
+    deadline = t_start + budget
     out = {"metric": "captions_per_sec_per_chip_beam5", "value": -1.0,
            "unit": "captions/s", "vs_baseline": -1.0}
-    failed = []
+    failed, skipped = [], []
+
+    def emit():
+        # Best-effort line after EVERY section (and from the signal
+        # handler): the last complete line on stdout always carries
+        # everything measured so far. rc stays 0 unless python dies.
+        snap = dict(out)
+        snap["elapsed_s"] = round(time.monotonic() - t_start, 1)
+        if failed:
+            snap["sections_failed"] = failed
+        if skipped:
+            snap["sections_skipped"] = skipped
+        print(json.dumps(snap))
+        sys.stdout.flush()
+
+    def on_signal(sig, frame):  # driver timeout sends SIGTERM first
+        failed.append(f"killed_by_signal_{sig}")
+        child = _CURRENT_CHILD[0]
+        if child is not None:  # don't orphan a chip-holding section
+            try:
+                child.kill()
+            except OSError:  # pragma: no cover - already gone
+                pass
+        emit()
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
 
     def note(err):
         if err:
             failed.append(err)
             print(f"[bench] FAILED: {err}", file=sys.stderr)
 
+    def gated(name, extra=(), cap=900, floor=90):
+        """Run a section with its child timeout clamped to the remaining
+        budget (less a 45 s reserve for later emits); skip outright when
+        less than `floor` seconds remain — a section that cannot finish
+        only burns the budget of everything behind it."""
+        rem = deadline - time.monotonic() - 45
+        if rem < floor:
+            skipped.append(name + ("" if not extra else
+                                   " " + " ".join(map(str, extra))))
+            print(f"[bench] SKIP {name}: {rem:.0f}s left", file=sys.stderr)
+            return None, None
+        res, err = _run_section(name, extra, timeout=min(cap, rem))
+        note(err)
+        return res, err
+
     try:
-        # 1. matmul peak (MFU denominator) — empty chip, own process.
-        peak, err = _run_section("peak", timeout=1200)
-        note(err)
-        peak_flops = (peak or {}).get("peak_flops", 0.0)
-        if peak_flops:
-            out["measured_peak_tflops"] = round(peak_flops / 1e12, 1)
-
-        # 2. reference-algorithm decode baseline (tiny memory, cheap).
-        naive, err = _run_section("naive_decode", timeout=900)
-        note(err)
-
-        # 3. exact-path beam headline, with smaller-batch fallbacks.
-        beam = None
-        for n in (512, 384, 256, 128):
-            beam, err = _run_section("beam", ("--n", n))
-            if beam:
-                break
-            note(err)
+        # ---- 1. exact-path beam headline (THE number) ----
+        beam, _ = gated("beam", ("--n", 512), cap=1200)
+        if not beam:  # one smaller-batch fallback, budget permitting
+            beam, _ = gated("beam", ("--n", 256), cap=900, floor=400)
         if beam:
             out["value"] = round(beam["captions_per_sec"], 2)
             out["beam_batch"] = beam["n"]
+        emit()
+
+        # ---- 2. matmul peak (MFU denominator) — cheap, empty chip ----
+        peak, _ = gated("peak", cap=420, floor=60)
+        peak_flops = (peak or {}).get("peak_flops", 0.0)
+        if peak_flops:
+            out["measured_peak_tflops"] = round(peak_flops / 1e12, 1)
+        emit()
+
+        # ---- 3. reference-algorithm decode baseline -> vs_baseline ----
+        naive, _ = gated("naive_decode", cap=600, floor=90)
         if beam and naive:
             out["vs_baseline"] = round(
-                beam["captions_per_sec"] / naive["baseline_captions_per_sec"],
-                2)
+                beam["captions_per_sec"]
+                / naive["baseline_captions_per_sec"], 2)
+        emit()
 
-        # 4. opt-in int8 KV cache (serving knob; not token-identical).
-        for n in (512, 256):
-            int8, err = _run_section("beam", ("--n", n, "--int8"))
-            if int8:
-                out["int8_kv_captions_per_sec"] = round(
-                    int8["captions_per_sec"], 1)
-                out["int8_beam_batch"] = int8["n"]
-                break
-            note(err)
-
-        # 5. greedy/top-p path.
-        for ng in (1024, 512):
-            greedy, err = _run_section("greedy", ("--ng", ng))
-            if greedy:
-                out["greedy_captions_per_sec"] = round(
-                    greedy["greedy_captions_per_sec"], 1)
-                break
-            note(err)
-
-        # 6. training throughput + MFU.
-        train, err = _run_section(
-            "train", ("--peak-flops", peak_flops), timeout=2400)
-        if not train:
-            note(err)
-            train, err = _run_section(
-                "train", ("--peak-flops", peak_flops, "--contract-only"),
-                timeout=2400)
-            note(err)
+        # ---- 4. training throughput + MFU ----
+        train, _ = gated("train", ("--peak-flops", peak_flops), cap=900)
         if train:
             sps = train["train_samples_per_sec_contract"]
             out["train_samples_per_sec"] = round(sps, 1)
@@ -600,51 +766,71 @@ def main():
             out["train_samples_per_sec_best"] = round(
                 train["train_samples_per_sec_best"], 1)
             out["train_best_batch"] = train["train_best_batch"]
-            out["train_mfu_best"] = round(train["train_mfu_best"], 3)
+            if train.get("train_mfu_best", -1.0) > 0:
+                out["train_mfu_best"] = round(train["train_mfu_best"], 3)
+            elif peak_flops and train.get("train_model_flops_per_step", 0) > 0:
+                step_t = (train["train_best_batch"]
+                          / train["train_samples_per_sec_best"])
+                out["train_mfu_best"] = round(
+                    train["train_model_flops_per_step"] / step_t
+                    / peak_flops, 3)
+        emit()
 
-        # 6b. late peak retry: a transiently-loaded machine can starve the
-        # first peak attempt (r4: a 900s timeout there silently cost the
-        # whole run its MFU). The train section always reports its
-        # analytic FLOPs, so MFU is recomputable here.
-        if not peak_flops:
-            peak, err = _run_section("peak", timeout=1200)
-            note(err)
-            peak_flops = (peak or {}).get("peak_flops", 0.0)
-            if peak_flops:
-                out["measured_peak_tflops"] = round(peak_flops / 1e12, 1)
-        if (peak_flops and train
-                and out.get("train_mfu_best", -1.0) <= 0
-                and train.get("train_model_flops_per_step", 0) > 0):
-            step_t = (train["train_best_batch"]
-                      / train["train_samples_per_sec_best"])
-            out["train_mfu_best"] = round(
-                train["train_model_flops_per_step"] / step_t / peak_flops,
-                3)
-
-        # 7. reference-structure training baseline.
-        tb, err = _run_section("train_baseline", timeout=1200)
-        note(err)
+        # ---- 5. reference-structure training baseline (same chip) ----
+        tb, _ = gated("train_baseline", cap=600)
         if train and tb:
             out["train_vs_baseline"] = round(
                 train["train_samples_per_sec_contract"]
                 / tb["baseline_train_sps"], 2)
+        emit()
 
-        # 8. the reference algorithm in torch on this container's CPU —
-        # the only hardware its torch-CUDA code can run on here.
-        tt, err = _run_section("train_baseline_torch", timeout=1200)
-        note(err)
-        if train and tt:
+        # ---- 6. the reference algorithm in torch on this CPU ----
+        tt, _ = gated("train_baseline_torch", cap=300, floor=120)
+        if tt:
             out["torch_cpu_train_sps"] = round(tt["torch_cpu_train_sps"], 2)
-            out["train_vs_torch_cpu"] = round(
-                train["train_samples_per_sec_contract"]
-                / tt["torch_cpu_train_sps"], 1)
+            if train:
+                out["train_vs_torch_cpu"] = round(
+                    train["train_samples_per_sec_contract"]
+                    / tt["torch_cpu_train_sps"], 1)
+        emit()
+
+        # ---- 7. CLIP text-embed throughput (C4's architectural win) ----
+        emb, _ = gated("embed", cap=420, floor=120)
+        if emb:
+            out["embed_text_captions_per_sec"] = round(
+                emb["embed_text_captions_per_sec"], 0)
+            out["embed_text_batch1_per_sec"] = round(
+                emb["embed_text_batch1_per_sec"], 1)
+        emit()
+
+        # ---- 8. greedy/top-p path ----
+        greedy, _ = gated("greedy", ("--ng", 1024), cap=600, floor=150)
+        if greedy:
+            out["greedy_captions_per_sec"] = round(
+                greedy["greedy_captions_per_sec"], 1)
+        emit()
+
+        # ---- 9. opt-in int8 KV (serving knob; not token-identical) ----
+        int8, _ = gated("beam", ("--n", 512, "--int8"), cap=1000, floor=300)
+        if int8:
+            out["int8_kv_captions_per_sec"] = round(
+                int8["captions_per_sec"], 1)
+            out["int8_beam_batch"] = int8["n"]
+        emit()
+
+        # ---- 10. end-to-end serving pipeline (+sync A/B) ----
+        srv, _ = gated("serve", ("--n", 512), cap=1200, floor=360)
+        if srv:
+            out["serve_captions_per_sec"] = round(
+                srv["serve_captions_per_sec"], 1)
+            out["serve_sync_captions_per_sec"] = round(
+                srv["serve_sync_captions_per_sec"], 1)
+            out["serve_latency_p99_s"] = srv["serve_latency_p99_s"]
+        emit()
     except Exception as e:  # pragma: no cover - defensive
         failed.append(f"orchestrator: {e!r}")
     finally:
-        if failed:
-            out["sections_failed"] = failed
-        print(json.dumps(out))
-        sys.stdout.flush()
+        emit()
 
 
 def _child():

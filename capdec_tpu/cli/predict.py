@@ -131,6 +131,12 @@ def main(argv=None):
         model_cfg = caption_model.config_from_torch_state_dict(
             sd, compute_dtype=compute_dtype)
         print(f'inferred model config: {model_cfg}', flush=True)
+        # n_head is not recoverable from the fused c_attn shape; inference
+        # assumes head_dim 64 (true for every released GPT-2 size) — say so,
+        # so a checkpoint trained with another head count is diagnosable.
+        print(f'  (n_head={model_cfg.gpt2.n_head} assumes head_dim 64; '
+              f'pass an explicit config if your checkpoint differs)',
+              flush=True)
         params = caption_model.params_from_torch_state_dict(sd, model_cfg)
         prefix_dim = model_cfg.prefix_size
     else:

@@ -28,8 +28,11 @@ from __future__ import annotations
 
 import json
 import os
+import queue
 import subprocess
 import tempfile
+import threading
+import time
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -83,19 +86,44 @@ def meteor_jar_score(predictions: List[dict], gt_metrics_format: dict,
         list(cmd), stdin=subprocess.PIPE, stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL, text=True, bufsize=1,
         cwd=os.path.dirname(os.path.abspath(jar)) if jar else None)
+    # A wedged jar must not hang the scorer: stdout is drained by a
+    # daemon thread and every readline goes through a shared deadline
+    # (`timeout` bounds the WHOLE exchange, matching its docstring).
+    lines: "queue.Queue[Optional[str]]" = queue.Queue()
+    t = threading.Thread(
+        target=lambda: ([lines.put(ln) for ln in proc.stdout],
+                        lines.put(None)),
+        daemon=True)
+    t.start()
+    deadline = time.monotonic() + timeout
+
+    def readline() -> str:
+        try:
+            line = lines.get(timeout=max(0.0, deadline - time.monotonic()))
+        except queue.Empty:
+            proc.kill()
+            raise TimeoutError(
+                f"METEOR jar produced no output within timeout={timeout}s")
+        if line is None:  # EOF: jar crashed mid-protocol
+            raise ValueError("METEOR jar closed stdout mid-protocol")
+        return line.strip()
+
     try:
         stats: List[str] = []
         for i in ids:
             fields = [_clean(r) for r in refs[i]] + [_clean(cands[i])]
             proc.stdin.write("SCORE ||| " + " ||| ".join(fields) + "\n")
             proc.stdin.flush()
-            stats.append(proc.stdout.readline().strip())
+            stats.append(readline())
         proc.stdin.write("EVAL ||| " + " ||| ".join(stats) + "\n")
         proc.stdin.flush()
-        per_image = {i: float(proc.stdout.readline().strip()) for i in ids}
-        aggregate = float(proc.stdout.readline().strip())
+        per_image = {i: float(readline()) for i in ids}
+        aggregate = float(readline())
     finally:
-        proc.stdin.close()
+        try:
+            proc.stdin.close()
+        except OSError:  # pragma: no cover - already-dead pipe
+            pass
         try:
             proc.wait(timeout=30)
         except subprocess.TimeoutExpired:

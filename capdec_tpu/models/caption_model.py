@@ -205,6 +205,14 @@ def config_from_torch_state_dict(sd: Dict[str, Any],
         mapping_type = "transformer_decoder"
         prefix_length = shape("clip_project.prefix_const")[0]
         dim_ref = shape("clip_project.ref_encoder.layers.0.norm1.weight")[0]
+        if dim_ref != mappers.MapperConfig.enc_dec_dim_ref:
+            # MapperConfig cannot represent another encoder width (the
+            # reference hardcodes 512 too — model.py TransformerMapperAllFeatures);
+            # proceeding would build a config whose params silently mis-load.
+            raise ValueError(
+                f"transformer_decoder checkpoint has encoder width "
+                f"{dim_ref}, but only "
+                f"{mappers.MapperConfig.enc_dec_dim_ref} is supported")
         out_dim, prefix_size = shape("clip_project.linear.weight")
         clip_length = out_dim // dim_ref
         num_layers = n_layers("clip_project.ref_encoder.layers.")

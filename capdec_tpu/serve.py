@@ -105,14 +105,14 @@ class CaptionServer:
         self._queue: "queue.Queue[Any]" = queue.Queue(
             maxsize=max(0, cfg.max_queue))
         self._latencies: List[float] = []
-        self.stats = {"batches": 0, "requests": 0, "decode_s": 0.0}
+        self.stats = {"batches": 0, "requests": 0, "decode_s": 0.0, "batch_span_s": 0.0}
 
     def warmup(self) -> None:
         """Trigger the one compilation before serving traffic (the warmup
         request is excluded from the serving stats)."""
         D = self._model_cfg.prefix_size
         self.caption(np.zeros((1, D), np.float32))
-        self.stats = {"batches": 0, "requests": 0, "decode_s": 0.0}
+        self.stats = {"batches": 0, "requests": 0, "decode_s": 0.0, "batch_span_s": 0.0}
         self._latencies = []
 
     def _launch(self, embeds: np.ndarray) -> Callable[[], List[str]]:
@@ -217,7 +217,7 @@ class CaptionServer:
         t.start()
         done = False
         # (ids, arrivals, finisher) of the batch running on device
-        pending: Optional[Tuple[List[Any], List[float], Callable]] = None
+        pending: Optional[Tuple[List[Any], List[float], Callable, float]] = None
         while not done or pending is not None:
             batch: List[Tuple[Any, np.ndarray, float]] = []
             deadline = None
@@ -250,12 +250,23 @@ class CaptionServer:
                 arrivals = [a for _, _, a in batch]
                 embeds = np.stack([e for _, e, _ in batch]).astype(
                     np.float32)
-                launched = (ids, arrivals, self._launch(embeds))
+                launched = (ids, arrivals, self._launch(embeds),
+                            time.perf_counter())
             if pending is not None:
-                p_ids, p_arrivals, finish = pending
+                p_ids, p_arrivals, finish, t_launch = pending
                 t0 = time.perf_counter()
                 texts = finish()
-                self.stats["decode_s"] += time.perf_counter() - t0
+                t_fin = time.perf_counter()
+                # decode_s: the NON-OVERLAPPED critical path only (blocking
+                # finish(): D2H + detokenize). Device compute that overlaps
+                # the next batch's coalescing is deliberately excluded, so
+                # requests/decode_s can exceed the synchronous caption()
+                # rate. batch_span_s is the full launch->finish interval per
+                # batch (intervals of consecutive batches overlap; their sum
+                # can exceed wall time). End-to-end throughput should be
+                # measured as served/wall by the caller.
+                self.stats["decode_s"] += t_fin - t0
+                self.stats["batch_span_s"] += t_fin - t_launch
                 t_done = time.monotonic()
                 for arr in p_arrivals:
                     self._latencies.append(t_done - arr)
@@ -277,5 +288,10 @@ class CaptionServer:
                 "n": int(arr.size)}
 
     def throughput(self) -> float:
+        """requests / decode_s. In the synchronous caption() path decode_s
+        is the full launch+finish time; in the pipelined serve() loop it is
+        only the non-overlapped critical path (blocking finish()), so this
+        can exceed the synchronous rate — use served/wall for end-to-end
+        serving throughput (scripts/serve_throughput.py does)."""
         s = self.stats
         return s["requests"] / s["decode_s"] if s["decode_s"] else 0.0

@@ -547,6 +547,7 @@ def test_greedy_v3_slot_bounded_matches_xla_path(models):
     np.testing.assert_array_equal(t1, t2)
 
 
+@pytest.mark.slow
 def test_beam_full_int8_with_prefix_agrees_with_fp_path(models):
     """Full-int8 serving path (generated + prefix caches): valid captions
     with overwhelming token agreement vs the fp path."""
@@ -569,6 +570,7 @@ def test_beam_full_int8_with_prefix_agrees_with_fp_path(models):
     assert agree >= 0.8, f"token agreement {agree:.2%}"
 
 
+@pytest.mark.slow
 def test_greedy_full_int8_fused_agrees_with_fp_path(models):
     """Greedy through the fused chunked int8 route (generated + prefix
     int8): valid tokens, overwhelming agreement with the exact path."""
