@@ -51,12 +51,14 @@ budget. Therefore:
   * sections run in strict information-value order: the headline beam
     number first, then the MFU/peak and training-baseline fields the
     BASELINE.md table needs, then the serving/embed/int8/greedy extras;
-  * warmup-only programs were cut: the beam/greedy sections previously
-    compiled the prefix mapper (one 219–1266 s first-run) just to build
-    inputs OUTSIDE the timed region — prefix embeddings are now
-    synthesized on device by a trivial program (decode throughput does
-    not depend on how the prefixes were produced; weights are random
-    either way);
+  * warmup-only programs were cut where provably value-independent: the
+    greedy section's prefix mapper (one 219–1266 s first-run, used only
+    to build inputs OUTSIDE the timed region) is replaced by on-device
+    synthesis — greedy does fixed work per step (argmax, no fork
+    copies, stop disabled). The BEAM section keeps the real mapper:
+    fork-copy count depends on the logit distribution, and synthetic
+    unit-normal prefixes measured 237.6 caps/s vs ~255 through the
+    mapper (round 5) — not comparable;
   * per-iteration times use the MEDIAN, so one contention spike cannot
     skew a headline number.
 """
@@ -198,8 +200,21 @@ def section_beam(args):
     params = caption_model.init_params(jax.random.PRNGKey(0), cfg)
     N = args.n
     iters = 5
-    # one distinct device-resident prefix batch per timed iteration
-    prefixes = _synth_prefixes(jax, N, cfg.prefix_length, 768, iters)
+    # One distinct device-resident prefix batch per timed iteration,
+    # produced by the REAL mapper: beam throughput is value-DEPENDENT
+    # (fork-copy count varies with the logit distribution — synthetic
+    # unit-normal prefixes measured 237.6 caps/s vs 255 through the
+    # mapper, round 5), so the mapper's one first-run compile is the
+    # price of a number comparable to r2–r4 and to production.
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    map_fn = jax.jit(caption_model.map_prefix, static_argnums=(1,))
+    prefixes = []
+    for _ in range(iters):
+        p = map_fn(params, cfg,
+                   jnp.asarray(rng.randn(N, cfg.prefix_size), jnp.float32))
+        np.asarray(p[0, 0, :1])  # sync the H2D+map out of the timed region
+        prefixes.append(p)
 
     # stop disabled: every caption runs the full 67 steps (worst case).
     bc = BeamConfig(beam_size=5, entry_length=67, stop_token=-1)
@@ -243,6 +258,10 @@ def section_greedy(args):
     params = caption_model.init_params(jax.random.PRNGKey(0), cfg)
     NG = args.ng
     iters = 5
+    # Synthetic prefixes are safe HERE (unlike the beam section): greedy
+    # does fixed work per step — argmax, no fork copies, stop disabled —
+    # so throughput is value-independent and the mapper's 100-1300s
+    # first-run compile buys nothing.
     prefixes = _synth_prefixes(jax, NG, cfg.prefix_length, 768, iters)
     tc = ToppConfig(entry_length=67, stop_token=-1, extra_stop_token=-1)
 

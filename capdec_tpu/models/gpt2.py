@@ -238,17 +238,32 @@ def embed_tokens(params: Params, tokens: jnp.ndarray) -> jnp.ndarray:
 def forward_hidden(params: Params, cfg: GPT2Config,
                    inputs_embeds: jnp.ndarray,
                    attention_mask: Optional[jnp.ndarray] = None,
-                   position_offset: int | jnp.ndarray = 0) -> jnp.ndarray:
+                   position_offset: int | jnp.ndarray = 0,
+                   attention_bias: Optional[jnp.ndarray] = None,
+                   positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Transformer stack only: [B, T, D] -> final hidden states [B, T, D]
     (pre ln_f / LM head). Lets loss paths run the 50k-wide LM-head matmul
-    over just the positions they score instead of the whole sequence."""
+    over just the positions they score instead of the whole sequence.
+
+    `attention_bias`: optional additive bias broadcastable to
+    [B, H, T, T], REPLACING the default causal mask — the hook for
+    sequence packing (block-diagonal causal bias over packed segments).
+    `positions`: optional explicit wpe indices [T] (packing resets
+    positions per segment); default `position_offset + arange(T)`.
+    """
     B, T, D = inputs_embeds.shape
-    positions = position_offset + jnp.arange(T)
+    if positions is None:
+        positions = position_offset + jnp.arange(T)
     x = inputs_embeds + jnp.take(params["wpe"], positions, axis=0)
     x = x.astype(cfg.compute_dtype)
 
-    causal = jnp.tril(jnp.ones((T, T), jnp.bool_))
-    bias = jnp.where(causal, 0.0, NEG_INF)[None, None, :, :]
+    if attention_bias is None:
+        causal = jnp.tril(jnp.ones((T, T), jnp.bool_))
+        bias = jnp.where(causal, 0.0, NEG_INF)[None, None, :, :]
+    else:
+        bias = attention_bias
+        while bias.ndim < 4:  # [T,T] / [1,T,T] -> [.,1,T,T]
+            bias = bias[None]
     if attention_mask is not None:
         key_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, NEG_INF)
         bias = bias + key_bias

@@ -122,3 +122,49 @@ def test_reorder_kv_cache():
     out = gpt2.reorder_kv_cache(cache, src)
     np.testing.assert_array_equal(np.asarray(out["k"][0, :, 0, 0, 0]),
                                   [3.0, 3.0, 0.0, 1.0])
+
+
+def test_packed_forward_matches_per_segment(jax_params):
+    """Sequence-packing plumbing (forward_hidden attention_bias +
+    positions): P segments packed into one row with a block-diagonal
+    causal bias and per-segment position reset produce the SAME hidden
+    states as running the segments as separate rows."""
+    params, cfg = jax_params
+    rng = np.random.RandomState(7)
+    B, P, L = 2, 2, 9
+    segs = jnp.asarray(rng.randn(B * P, L, SMALL["n_embd"]), jnp.float32)
+
+    flat_hidden = gpt2.forward_hidden(params, cfg, segs)
+
+    packed = segs.reshape(B, P * L, SMALL["n_embd"])
+    blk = jnp.tril(jnp.ones((L, L), jnp.int8))
+    bias = jnp.where(jnp.kron(jnp.eye(P, dtype=jnp.int8), blk) > 0,
+                     0.0, gpt2.NEG_INF)
+    positions = jnp.tile(jnp.arange(L), P)
+    packed_hidden = gpt2.forward_hidden(params, cfg, packed,
+                                        attention_bias=bias,
+                                        positions=positions)
+    np.testing.assert_allclose(
+        np.asarray(packed_hidden.reshape(B * P, L, -1)),
+        np.asarray(flat_hidden), rtol=0, atol=2e-5)
+
+
+def test_attention_bias_composes_with_key_mask(jax_params):
+    """attention_bias (packing) + attention_mask (padding) compose: a
+    padded key is removed from attention in every segment."""
+    params, cfg = jax_params
+    rng = np.random.RandomState(8)
+    L = 6
+    seg = jnp.asarray(rng.randn(1, L, SMALL["n_embd"]), jnp.float32)
+    key_mask = jnp.asarray([[1, 1, 1, 1, 0, 0]], jnp.float32)
+
+    # default causal path with the key mask
+    want = gpt2.forward_hidden(params, cfg, seg, key_mask)
+    # identical causal bias passed explicitly must give the same result
+    causal = jnp.tril(jnp.ones((L, L), jnp.int8))
+    bias = jnp.where(causal > 0, 0.0, gpt2.NEG_INF)
+    got = gpt2.forward_hidden(params, cfg, seg, key_mask,
+                              attention_bias=bias,
+                              positions=jnp.arange(L))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-6)
