@@ -159,7 +159,15 @@ def section_naive_decode(args):
     beam-5, no KV cache — re-forward the full growing sequence every step
     (gpt2_prefix_eval.py:76) at the mean decode length. The per-step D2H
     fetch is part of the reference algorithm: its loop host-syncs every
-    step on `is_stopped.all()` (gpt2_prefix_eval.py:108)."""
+    step on `is_stopped.all()` (gpt2_prefix_eval.py:108).
+
+    MEDIAN per-step time (round-5 correction): the r4 driver figure of
+    0.1229 caps/s was a contention-skewed MEAN — the measured per-step
+    distribution on this relay is a stable 26-35 ms with occasional
+    ~1000 ms relay stalls (16-step probe: median 30.5 ms, one 973 ms
+    outlier dragging the mean to 89 ms). The honest steady-state rate is
+    ~0.43-0.49 caps/s (r2 measured 0.577 the same way), which makes
+    vs_baseline ~500x, not the ~2100x the skewed mean implied."""
     jax = _jax_init()
     import jax.numpy as jnp
     from capdec_tpu.models import caption_model, gpt2

@@ -128,6 +128,41 @@ def main():
             e, q = scores["exact"][k], scores["int8"][k]
             print(f"{k:8s} exact={e:.4f} int8={q:.4f} delta={q - e:+.4f}")
 
+        # ---- beam-SCORE deltas (VERDICT r4 item 7): a quantitative ----
+        # error bound that transfers to real weights better than flip
+        # counting. The beam score is the cumulative log-prob of the
+        # winning sequence, so |Δscore| integrates the int8 cache's
+        # per-step logit error over the decode; reporting it at several
+        # decode lengths shows how the error GROWS per step.
+        import jax.numpy as jnp
+        from capdec_tpu.decode import beam_search
+
+        embeds = np.asarray(embed_fn(records), np.float32)
+        embeds /= np.maximum(
+            np.linalg.norm(embeds, axis=-1, keepdims=True), 1e-12)
+        prefix = caption_model.map_prefix(params, cfg, jnp.asarray(embeds))
+        print("\nbeam-score |delta| (exact vs int8-KV), cumulative "
+              "log-prob of each ranked beam:")
+        import dataclasses
+        for length in (4, 9, 18):
+            sc = {}
+            for name, bc in variants.items():
+                bc_l = dataclasses.replace(bc, entry_length=length,
+                                           stop_token=-1)  # fixed length:
+                # scores at equal step counts are directly comparable
+                _, _, s, order = beam_search(params["gpt"], cfg.gpt2,
+                                             prefix, bc_l)
+                # order ranks beams; compare rank-aligned scores
+                sc[name] = np.take_along_axis(np.asarray(s),
+                                              np.asarray(order), axis=1)
+            d = np.abs(sc["exact"] - sc["int8"])
+            mag = np.abs(sc["exact"]).mean()
+            print(f"  E={length:2d}: rank-0 mean|d|={d[:, 0].mean():.5f} "
+                  f"max|d|={d[:, 0].max():.5f}  all-ranks "
+                  f"mean|d|={d.mean():.5f} p99={np.percentile(d, 99):.5f} "
+                  f"per-step mean|d|={d[:, 0].mean() / length:.6f} "
+                  f"(mean |score|={mag:.3f})")
+
 
 if __name__ == "__main__":
     main()
