@@ -1,7 +1,9 @@
 """Profile the fused multi-step train dispatch on the real chip.
 
-Prints the aggregated per-op trace for one 16-step dispatch at the bench
-configuration (bs=30, only_prefix, seq 40+40).
+Prints the aggregated per-op trace for one K-step dispatch at the bench
+configuration (only_prefix, seq 40+40). Usage:
+    python scripts/train_profile.py [bs=30] [k=16]
+bs=120 k=8 is the MFU-best bench configuration (train_best_batch).
 """
 import os
 import sys
@@ -22,7 +24,8 @@ def main():
     from capdec_tpu.train import step as step_lib
     from capdec_tpu.utils import profiling
 
-    bs, T, K = 30, 40, 16
+    opts = dict(kv.split("=") for kv in sys.argv[1:])
+    bs, T, K = int(opts.get("bs", 30)), 40, int(opts.get("k", 16))
     cfg = caption_model.CaptionModelConfig(
         prefix_length=40, clip_length=40, prefix_size=640, num_layers=8,
         mapping_type="transformer", only_prefix=True,
