@@ -277,6 +277,17 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
     if bc.cast_params:
         params = cast_params_for_decode(params, cfg)
     logits0, prefix_cache = gpt2.prefill(params, cfg, prefix_embeds)
+    # 8-align the prefix slot count for the fused kernels: K = 4 mod 8
+    # with a single-lane-tile n_embd CHECK-crashes the XLA:TPU backend
+    # (gpt2.pad_prefix_cache). No-op at the flagship K=40; the true
+    # length rides to the kernels as a static mask bound.
+    _fused_path = (bool(bc.fused_attention) and bc.rowmajor_cache
+                   and not bc.ancestry)
+    _k_pad = -(-K // 8) * 8
+    prefix_len = None
+    if _fused_path and _k_pad != K:
+        prefix_cache = gpt2.pad_prefix_cache(prefix_cache, _k_pad)
+        prefix_len = K
     if bc.kv_cache_int8 and bc.int8_prefix:
         prefix_cache = gpt2.quantize_prefix_cache(prefix_cache)
     if bc.temperature > 0 and bc.temperature != 1.0:
@@ -392,7 +403,7 @@ def _beam_search_impl(params, cfg: gpt2.GPT2Config, bc: BeamConfig,
             fused_block_beams=bc.fused_block_beams,
             fused_slot_chunks=int(bc.fused_slot_chunks or 0),
             return_hidden=bool(bc.fused_lm_head),
-            e_cap=e_cap)
+            e_cap=e_cap, prefix_len=prefix_len)
         # Per-beam candidate reduction: adding the per-beam score and
         # dividing by the per-beam length are monotonic within a beam, so
         # the global flat top-R over beam*vocab can only select tokens from

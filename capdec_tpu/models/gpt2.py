@@ -451,6 +451,27 @@ def quantize_prefix_cache(prefix_cache: Params) -> Params:
             "vs": sv[..., 0][:, :, None, :]}
 
 
+def pad_prefix_cache(prefix_cache: Params, k_pad: int) -> Params:
+    """Zero-pad a prefill prefix cache ({k, v: [L, N, K, D]}) to k_pad
+    slots. The XLA:TPU backend CHECK-crashes lowering the fused decode
+    attention kernels when K is 4 mod 8 and n_embd is one 128-lane tile
+    (ops/decode_attention._mask_padded_prefix has the measured matrix),
+    so the beam engine 8-aligns the cache once at prefill and passes the
+    true length to the kernels, which NEG_INF-mask the padded slots.
+    Call BEFORE quantize_prefix_cache (zero rows quantize to 0*0)."""
+    if "ks" in prefix_cache:
+        raise ValueError("pad_prefix_cache must run before "
+                         "quantize_prefix_cache")
+    K = prefix_cache["k"].shape[2]
+    if k_pad < K:
+        raise ValueError(f"k_pad {k_pad} < prefix length {K}")
+    if k_pad == K:
+        return prefix_cache
+    pad = ((0, 0), (0, 0), (0, k_pad - K), (0, 0))
+    return {"k": jnp.pad(prefix_cache["k"], pad),
+            "v": jnp.pad(prefix_cache["v"], pad)}
+
+
 def repeat_prefix_cache(prefix_cache: Params, repeats: int) -> Params:
     """Tile a [L, N, ...] prefix cache to [L, N*R, ...] (unified-cache path)."""
     return jax.tree.map(
@@ -469,9 +490,14 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                 fused_block_beams: int = 20,
                 fused_slot_chunks: int = 0,
                 return_hidden: bool = False,
-                e_cap: Optional[int] = None
+                e_cap: Optional[int] = None,
+                prefix_len: Optional[int] = None
                 ) -> Tuple[jnp.ndarray, Params]:
     """One decode step over split caches.
+
+    `prefix_len`: true prefix length when the fused-attention prefix
+    cache carries 8-alignment padding (pad_prefix_cache); padded slots
+    are NEG_INF-masked inside the fused kernels. None = no padding.
 
     token_embed: [B, D] embeddings of the tokens decoded at generated
     position `step` (B = N * R beams; prefix_cache holds N rows). Writes
@@ -509,8 +535,16 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
     R = B // N
     H, hd = cfg.n_head, cfg.head_dim
     cdt = cfg.compute_dtype
+    if prefix_len is not None and not (fused_attention or
+                                       (rowmajor and "ks" in gen_cache)):
+        # the XLA attention paths have no padded-slot mask — a padded
+        # cache would attend over zero K/V rows as if they were real
+        raise ValueError("prefix_len (padded prefix cache) requires the "
+                         "fused-attention rowmajor path")
 
-    pos = K + step
+    # position of the token being decoded: true prefix length, not the
+    # (possibly 8-alignment-padded) cache slot count
+    pos = (K if prefix_len is None else prefix_len) + step
     x = token_embed + params["wpe"][pos]
     x = x.astype(cdt)[:, None, :]  # [B, 1, D]
 
@@ -670,12 +704,13 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                             head_dim=hd, block_beams=fused_block_beams,
                             chunk=fused_slot_chunks,
                             pks=pks_all, pvs=pvs_all,
-                            interpret=fused_interpret)
+                            interpret=fused_interpret, k_true=prefix_len)
                     return beam_decode_attention_rowmajor_q(
                         q, k_new, v_new, pk_all, pv_all, genk, genv,
                         gks, gvs, step, l, beams_per_image=R, head_dim=hd,
                         block_beams=fused_block_beams,
-                        interpret=fused_interpret, e_cap=e_cap)
+                        interpret=fused_interpret, e_cap=e_cap,
+                        k_true=prefix_len)
 
                 return body_core(x, layer, None, None, None, None,
                                  attn_fn=attn_fn)
@@ -707,12 +742,13 @@ def decode_step(params: Params, cfg: GPT2Config, token_embed: jnp.ndarray,
                             step, l, beams_per_image=R, head_dim=hd,
                             block_beams=fused_block_beams,
                             chunk=fused_slot_chunks,
-                            interpret=fused_interpret)
+                            interpret=fused_interpret, k_true=prefix_len)
                     return beam_decode_attention_rowmajor(
                         q, k_new, v_new, pk_all, pv_all, genk, genv,
                         step, l, beams_per_image=R, head_dim=hd,
                         block_beams=fused_block_beams,
-                        interpret=fused_interpret, e_cap=e_cap)
+                        interpret=fused_interpret, e_cap=e_cap,
+                        k_true=prefix_len)
 
                 return body_core(x, layer, None, None, None, None,
                                  attn_fn=attn_fn)

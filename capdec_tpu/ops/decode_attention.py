@@ -46,6 +46,24 @@ def _head_matrix(n_embd: int, head_dim: int, dtype=jnp.bfloat16) -> jnp.ndarray:
     return jnp.asarray(g, dtype)
 
 
+def _mask_padded_prefix(sp, k_true: Optional[int], TB: int, K: int):
+    """NEG_INF the scores of prefix slots >= k_true (static no-op when the
+    prefix is unpadded). The padded K/V rows are zeros, so after the
+    softmax their probabilities are exactly 0 and the value pass adds
+    nothing — identical to decoding with the true-K cache.
+
+    Why padding exists: the XLA:TPU backend (lower_to_llo) CHECK-crashes
+    (`d >> 32 == 0 (-1 vs 0)`) compiling these kernels when the prefix
+    slot count K is 4 mod 8 AND n_embd is a single 128-lane tile
+    (measured on v5e 2026-08: K=4,12 crash, K=5,8,16,40 compile, any K
+    at D=768 compiles). The beam engine pads the prefix cache to an
+    8-multiple (gpt2.pad_prefix_cache) and passes the true length here."""
+    if k_true is None or k_true >= K:
+        return sp
+    pid = jax.lax.broadcasted_iota(jnp.int32, (TB, K, 1), 1)
+    return jnp.where(pid < k_true, sp, NEG_INF)
+
+
 def _kernel(step_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref, gv_ref,
             g_ref, out_ref, gk_out_ref, gv_out_ref, *, beams_per_image: int,
             head_dim: int, scale: float):
@@ -167,7 +185,8 @@ def _reduce_fns(g, head_dim: int, vector_reduce: bool):
 
 def _kernel_rm(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref,
                gv_ref, g_ref, out_ref, *, beams_per_image: int,
-               head_dim: int, scale: float, vector_reduce: bool = False):
+               head_dim: int, scale: float, vector_reduce: bool = False,
+               k_true: Optional[int] = None):
     """v2: row-major [B, L, E, D] caches, pure function (no aliased
     outputs — the slot write is `ops.cache_reorder.write_gen_slot`).
 
@@ -202,6 +221,7 @@ def _kernel_rm(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref,
     pv_rep = jnp.repeat(pv_ref[0], R, axis=0)
     prod_p = pk_rep.astype(jnp.bfloat16) * q[:, None, :].astype(jnp.bfloat16)
     sp = heads(prod_p.reshape(TB * K, D)).reshape(TB, K, 128) * scale
+    sp = _mask_padded_prefix(sp, k_true, TB, K)
 
     scores = jnp.concatenate([sp, sg, sc[:, None, :]], axis=1)  # [TB,S,128]
     m = jnp.max(scores, axis=1, keepdims=True)
@@ -223,7 +243,8 @@ def _kernel_rm(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref,
 
 def _kernel_rm_q(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref,
                  gv_ref, gks_ref, gvs_ref, g_ref, out_ref, *,
-                 beams_per_image: int, head_dim: int, scale: float):
+                 beams_per_image: int, head_dim: int, scale: float,
+                 k_true: Optional[int] = None):
     """int8-KV variant of _kernel_rm: the generated cache streams as int8
     with per-(row, layer, slot) absmax scales (written by
     ops.cache_reorder.write_gen_slot_chunk_q). The scales factor out of
@@ -269,6 +290,7 @@ def _kernel_rm_q(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref, gk_ref,
     pv_rep = jnp.repeat(pv_ref[0], R, axis=0)
     prod_p = pk_rep.astype(jnp.bfloat16) * q[:, None, :].astype(jnp.bfloat16)
     sp = heads(prod_p.reshape(TB * K, D)).reshape(TB, K, 128) * scale
+    sp = _mask_padded_prefix(sp, k_true, TB, K)
 
     scores = jnp.concatenate([sp, sg, sc[:, None, :]], axis=1)
     m = jnp.max(scores, axis=1, keepdims=True)
@@ -305,7 +327,8 @@ def _kernel_rm_chunked(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref,
                        gk_ref, gv_ref, g_ref, out_ref, m_ref, l_ref, acc_ref,
                        *, beams_per_image: int, head_dim: int, scale: float,
                        n_chunks: int, chunk: int, int8_scales=None,
-                       prefix_scales=None, vector_reduce: bool = False):
+                       prefix_scales=None, vector_reduce: bool = False,
+                       k_true: Optional[int] = None):
     """v3: slot-bounded generated-cache reads via a chunk grid dimension.
 
     Grid is (batch_blocks, n_chunks) with the chunk axis innermost. The
@@ -357,6 +380,7 @@ def _kernel_rm_chunked(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref,
             sp = sp * (pks_rep * scale)[:, :, None]
         else:
             sp = sp * scale
+        sp = _mask_padded_prefix(sp, k_true, TB, K)
         scores = jnp.concatenate([sp, sc[:, None, :]], axis=1)  # [TB,K+1,128]
         m0 = jnp.max(scores, axis=1)                             # [TB, 128]
         e = jnp.exp(scores - m0[:, None, :])
@@ -456,14 +480,15 @@ def _chunked_blockspecs(TB, TI, K, D, E, C):
 @functools.partial(jax.jit,
                    static_argnames=("beams_per_image", "head_dim",
                                     "block_beams", "chunk", "interpret",
-                                    "vector_reduce"))
+                                    "vector_reduce", "k_true"))
 def beam_decode_attention_chunked(
         q: jnp.ndarray, k_new: jnp.ndarray, v_new: jnp.ndarray,
         pk: jnp.ndarray, pv: jnp.ndarray, gk: jnp.ndarray, gv: jnp.ndarray,
         step: jnp.ndarray, layer: jnp.ndarray, *, beams_per_image: int,
         head_dim: int, block_beams: int = 20, chunk: int = 8,
         vector_reduce: bool = False,
-        interpret: bool = False) -> jnp.ndarray:
+        interpret: bool = False,
+        k_true: Optional[int] = None) -> jnp.ndarray:
     """Slot-bounded fused decode attention (v3) over row-major caches.
 
     Same contract as `beam_decode_attention_rowmajor`, but the generated
@@ -471,7 +496,8 @@ def beam_decode_attention_chunked(
     ceil(step/chunk) chunks leave HBM instead of the full allocation, so
     the decode engine can run a single full-size cache (no staged growth,
     no grow copies) while early steps stay cheap. E must be a multiple of
-    `chunk` (cache allocs are 8-aligned)."""
+    `chunk` (cache allocs are 8-aligned). `k_true`: true prefix length
+    when pk/pv carry 8-alignment padding (see _mask_padded_prefix)."""
     B, D = q.shape
     L, N, K, _ = pk.shape
     E = gk.shape[2]
@@ -492,7 +518,7 @@ def beam_decode_attention_chunked(
     kernel = functools.partial(_kernel_rm_chunked, beams_per_image=R,
                                head_dim=head_dim, scale=scale,
                                n_chunks=NC, chunk=chunk,
-                               vector_reduce=vector_reduce)
+                               vector_reduce=vector_reduce, k_true=k_true)
     const, gen = _chunked_blockspecs(TB, TI, K, D, E, chunk)
     out = pl.pallas_call(
         kernel,
@@ -538,7 +564,8 @@ def _kernel_rm_chunked_q8p(scal_ref, q_ref, kn_ref, vn_ref, pk_ref, pv_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("beams_per_image", "head_dim",
-                                    "block_beams", "chunk", "interpret"))
+                                    "block_beams", "chunk", "interpret",
+                                    "k_true"))
 def beam_decode_attention_chunked_q(
         q: jnp.ndarray, k_new: jnp.ndarray, v_new: jnp.ndarray,
         pk: jnp.ndarray, pv: jnp.ndarray, gk: jnp.ndarray, gv: jnp.ndarray,
@@ -546,7 +573,8 @@ def beam_decode_attention_chunked_q(
         step: jnp.ndarray, layer: jnp.ndarray, *, beams_per_image: int,
         head_dim: int, block_beams: int = 20, chunk: int = 8,
         pks: jnp.ndarray = None, pvs: jnp.ndarray = None,
-        interpret: bool = False) -> jnp.ndarray:
+        interpret: bool = False,
+        k_true: Optional[int] = None) -> jnp.ndarray:
     """`beam_decode_attention_chunked` over an int8 generated cache
     (levels gk/gv int8 [B, L, E, D]; scales gks/gvs f32 [B, L, 1, E]).
     The full scale rows ride along per batch block (tiny, f32) and the
@@ -576,7 +604,7 @@ def beam_decode_attention_chunked_q(
     kernel = functools.partial(
         _kernel_rm_chunked_q8p if int8_prefix else _kernel_rm_chunked_q,
         beams_per_image=R, head_dim=head_dim, scale=scale,
-        n_chunks=NC, chunk=chunk)
+        n_chunks=NC, chunk=chunk, k_true=k_true)
     const, gen = _chunked_blockspecs(TB, TI, K, D, E, chunk)
     scale_spec = pl.BlockSpec((TB, 1, 1, E), lambda i, c, s: (i, s[1], 0, 0))
     pscale_spec = pl.BlockSpec((1, TI, 1, K),
@@ -613,7 +641,8 @@ def beam_decode_attention_chunked_q(
 
 @functools.partial(jax.jit,
                    static_argnames=("beams_per_image", "head_dim",
-                                    "block_beams", "interpret", "e_cap"))
+                                    "block_beams", "interpret", "e_cap",
+                                    "k_true"))
 def beam_decode_attention_rowmajor_q(
         q: jnp.ndarray, k_new: jnp.ndarray, v_new: jnp.ndarray,
         pk: jnp.ndarray, pv: jnp.ndarray, gk: jnp.ndarray, gv: jnp.ndarray,
@@ -621,7 +650,8 @@ def beam_decode_attention_rowmajor_q(
         step: jnp.ndarray, layer: jnp.ndarray, *, beams_per_image: int,
         head_dim: int, block_beams: int = 20,
         interpret: bool = False,
-        e_cap: Optional[int] = None) -> jnp.ndarray:
+        e_cap: Optional[int] = None,
+        k_true: Optional[int] = None) -> jnp.ndarray:
     """`beam_decode_attention_rowmajor` over an int8 generated cache.
 
     gk/gv: int8 [B, L, E, D]; gks/gvs: f32 [B, L, 1, E] per-slot absmax
@@ -649,7 +679,8 @@ def beam_decode_attention_rowmajor_q(
     scale = 1.0 / (head_dim ** 0.5)
 
     kernel = functools.partial(_kernel_rm_q, beams_per_image=R,
-                               head_dim=head_dim, scale=scale)
+                               head_dim=head_dim, scale=scale,
+                               k_true=k_true)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -684,7 +715,7 @@ def beam_decode_attention_rowmajor_q(
 @functools.partial(jax.jit,
                    static_argnames=("beams_per_image", "head_dim",
                                     "block_beams", "interpret",
-                                    "vector_reduce", "e_cap"))
+                                    "vector_reduce", "e_cap", "k_true"))
 def beam_decode_attention_rowmajor(
         q: jnp.ndarray, k_new: jnp.ndarray, v_new: jnp.ndarray,
         pk: jnp.ndarray, pv: jnp.ndarray, gk: jnp.ndarray, gv: jnp.ndarray,
@@ -692,7 +723,8 @@ def beam_decode_attention_rowmajor(
         head_dim: int, block_beams: int = 20,
         interpret: bool = False,
         vector_reduce: bool = False,
-        e_cap: Optional[int] = None) -> jnp.ndarray:
+        e_cap: Optional[int] = None,
+        k_true: Optional[int] = None) -> jnp.ndarray:
     """Fused decode attention over row-major caches (v2, production).
 
     q/k_new/v_new: [B, D]; pk/pv: [L, N, K, D] (full prefix cache);
@@ -729,7 +761,7 @@ def beam_decode_attention_rowmajor(
 
     kernel = functools.partial(_kernel_rm, beams_per_image=R,
                                head_dim=head_dim, scale=scale,
-                               vector_reduce=vector_reduce)
+                               vector_reduce=vector_reduce, k_true=k_true)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

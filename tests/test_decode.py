@@ -383,6 +383,42 @@ def test_beam_fused_attention_matches_xla_path(models, chunk_write,
     np.testing.assert_array_equal(r1[3], r2[3])  # order
 
 
+@pytest.mark.parametrize(
+    "kv_int8", [False, pytest.param(True, marks=pytest.mark.slow)])
+def test_beam_fused_unaligned_prefix_matches_xla_path(models, kv_int8):
+    """Prefix length 4 — the K = 4 (mod 8) congruence class whose fused
+    kernels CHECK-crash the XLA:TPU backend when unpadded (measured on
+    v5e; gpt2.pad_prefix_cache docstring). The beam engine now 8-aligns
+    the prefix cache at prefill and NEG_INF-masks the padded slots: the
+    fused path must emit exactly the XLA path's captions. The int8
+    variant (8-bit K/V, not bitwise vs fp) covers the quantize-after-pad
+    ordering; on the tiny model its tokens still agree with the fp
+    path almost everywhere."""
+    tm, params, cfg = models
+    K, E, R = 4, 12, 4
+    prefixes = _random_prefixes(3, K, SMALL["n_embd"], seed=63)
+    base = dict(beam_size=R, entry_length=E, stop_token=13,
+                pallas_reorder=False)
+    bc_xla = BeamConfig(fused_attention=False, chunk_slot_write=False,
+                        **base)
+    bc_fused = BeamConfig(fused_attention=True, fused_interpret=True,
+                          kv_cache_int8=kv_int8, **base)
+    r1 = jax.tree.map(np.asarray,
+                      beam_search(params, cfg, jnp.asarray(prefixes),
+                                  bc_xla))
+    r2 = jax.tree.map(np.asarray,
+                      beam_search(params, cfg, jnp.asarray(prefixes),
+                                  bc_fused))
+    if kv_int8:
+        # int8 KV is not bitwise vs fp; on the tiny model tokens agree
+        assert (r1[0] == r2[0]).mean() > 0.9
+    else:
+        np.testing.assert_array_equal(r1[0], r2[0])  # tokens
+        np.testing.assert_array_equal(r1[1], r2[1])  # lengths
+        np.testing.assert_allclose(r1[2], r2[2], atol=1e-4)  # scores
+        np.testing.assert_array_equal(r1[3], r2[3])  # order
+
+
 @pytest.mark.parametrize("kv_int8", [False, True])
 @pytest.mark.slow
 def test_beam_full_alloc_matches_staged_growth(models, kv_int8):

@@ -92,6 +92,26 @@ def test_rowmajor_int8_lowers(attn_operands, e_cap):
                 o["step"], o["layer"])
 
 
+def test_rowmajor_padded_prefix_lowers(attn_operands):
+    """Padded-prefix configuration (k_true < K): the masking iota/where
+    must lower with the kernel. NOTE jax.export cannot reproduce the
+    underlying XLA:TPU backend CHECK (lower_to_llo) that unpadded
+    K = 4 mod 8 prefixes trigger on hardware — that envelope is pinned
+    by measurement in gpt2.pad_prefix_cache's docstring and guarded by
+    the engine's prefill-time padding; this test locks the Mosaic layer
+    of the fix."""
+    o = attn_operands
+    fn = functools.partial(da.beam_decode_attention_rowmajor,
+                           beams_per_image=R, head_dim=HD, k_true=K - 4)
+    _export_tpu(fn, o["q"], o["kn"], o["vn"], o["pk"], o["pv"],
+                o["gk"], o["gv"], o["step"], o["layer"])
+    fn_q = functools.partial(da.beam_decode_attention_rowmajor_q,
+                             beams_per_image=R, head_dim=HD, k_true=K - 4)
+    _export_tpu(fn_q, o["q"], o["kn"], o["vn"], o["pk"], o["pv"],
+                o["gk8"], o["gv8"], o["gks"], o["gvs"],
+                o["step"], o["layer"])
+
+
 def test_chunked_exact_lowers(attn_operands):
     o = attn_operands
     fn = functools.partial(da.beam_decode_attention_chunked,
