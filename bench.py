@@ -759,6 +759,23 @@ def main():
         note(err)
         return res, err
 
+    # Section order = information value per second. The four REQUIRED
+    # fields (value, train_*, train_vs_baseline, torch_cpu_train_sps)
+    # land first; compile-heavy/low-information sections (int8, serve,
+    # naive ratio) run on whatever budget remains. A relay having a slow
+    # day (round-5 run: peak compile >420 s, naive >600 s) then costs
+    # tail sections, never the contract fields.
+    def fold_mfu(train, peak_flops):
+        if not (train and peak_flops):
+            return
+        out["measured_peak_tflops"] = round(peak_flops / 1e12, 1)
+        if train.get("train_model_flops_per_step", 0) > 0:
+            step_t = (train["train_best_batch"]
+                      / train["train_samples_per_sec_best"])
+            out["train_mfu_best"] = round(
+                train["train_model_flops_per_step"] / step_t
+                / peak_flops, 3)
+
     try:
         # ---- 1. exact-path beam headline (THE number) ----
         beam, _ = gated("beam", ("--n", 512), cap=1200)
@@ -769,23 +786,8 @@ def main():
             out["beam_batch"] = beam["n"]
         emit()
 
-        # ---- 2. matmul peak (MFU denominator) — cheap, empty chip ----
-        peak, _ = gated("peak", cap=420, floor=60)
-        peak_flops = (peak or {}).get("peak_flops", 0.0)
-        if peak_flops:
-            out["measured_peak_tflops"] = round(peak_flops / 1e12, 1)
-        emit()
-
-        # ---- 3. reference-algorithm decode baseline -> vs_baseline ----
-        naive, _ = gated("naive_decode", cap=600, floor=90)
-        if beam and naive:
-            out["vs_baseline"] = round(
-                beam["captions_per_sec"]
-                / naive["baseline_captions_per_sec"], 2)
-        emit()
-
-        # ---- 4. training throughput + MFU ----
-        train, _ = gated("train", ("--peak-flops", peak_flops), cap=900)
+        # ---- 2. training throughput (MFU folded in once peak lands) ----
+        train, _ = gated("train", ("--peak-flops", 0.0), cap=900)
         if train:
             sps = train["train_samples_per_sec_contract"]
             out["train_samples_per_sec"] = round(sps, 1)
@@ -793,17 +795,9 @@ def main():
             out["train_samples_per_sec_best"] = round(
                 train["train_samples_per_sec_best"], 1)
             out["train_best_batch"] = train["train_best_batch"]
-            if train.get("train_mfu_best", -1.0) > 0:
-                out["train_mfu_best"] = round(train["train_mfu_best"], 3)
-            elif peak_flops and train.get("train_model_flops_per_step", 0) > 0:
-                step_t = (train["train_best_batch"]
-                          / train["train_samples_per_sec_best"])
-                out["train_mfu_best"] = round(
-                    train["train_model_flops_per_step"] / step_t
-                    / peak_flops, 3)
         emit()
 
-        # ---- 5. reference-structure training baseline (same chip) ----
+        # ---- 3. reference-structure training baseline (same chip) ----
         tb, _ = gated("train_baseline", cap=600)
         if train and tb:
             out["train_vs_baseline"] = round(
@@ -811,8 +805,11 @@ def main():
                 / tb["baseline_train_sps"], 2)
         emit()
 
-        # ---- 6. the reference algorithm in torch on this CPU ----
-        tt, _ = gated("train_baseline_torch", cap=300, floor=120)
+        # ---- 4. the reference algorithm in torch on this CPU ----
+        # floor 180: model build + untimed warmup step cost ~80-100 s
+        # before its internal 75 s measurement cap even starts; a
+        # smaller window gets killed mid-measurement (round-5 run).
+        tt, _ = gated("train_baseline_torch", cap=300, floor=180)
         if tt:
             out["torch_cpu_train_sps"] = round(tt["torch_cpu_train_sps"], 2)
             if train:
@@ -821,8 +818,14 @@ def main():
                     / tt["torch_cpu_train_sps"], 1)
         emit()
 
-        # ---- 7. CLIP text-embed throughput (C4's architectural win) ----
-        emb, _ = gated("embed", cap=420, floor=120)
+        # ---- 5. matmul peak (MFU denominator) — empty chip ----
+        peak, _ = gated("peak", cap=300, floor=60)
+        peak_flops = (peak or {}).get("peak_flops", 0.0)
+        fold_mfu(train, peak_flops)
+        emit()
+
+        # ---- 6. CLIP text-embed throughput (C4's architectural win) ----
+        emb, _ = gated("embed", cap=300, floor=120)
         if emb:
             out["embed_text_captions_per_sec"] = round(
                 emb["embed_text_captions_per_sec"], 0)
@@ -830,29 +833,47 @@ def main():
                 emb["embed_text_batch1_per_sec"], 1)
         emit()
 
-        # ---- 8. greedy/top-p path ----
+        # ---- 7. greedy/top-p path ----
         greedy, _ = gated("greedy", ("--ng", 1024), cap=600, floor=150)
         if greedy:
             out["greedy_captions_per_sec"] = round(
                 greedy["greedy_captions_per_sec"], 1)
         emit()
 
-        # ---- 9. opt-in int8 KV (serving knob; not token-identical) ----
-        int8, _ = gated("beam", ("--n", 512, "--int8"), cap=1000, floor=300)
+        # ---- 8. opt-in int8 KV (serving knob; not token-identical) ----
+        int8, _ = gated("beam", ("--n", 512, "--int8"), cap=900, floor=300)
         if int8:
             out["int8_kv_captions_per_sec"] = round(
                 int8["captions_per_sec"], 1)
             out["int8_beam_batch"] = int8["n"]
         emit()
 
-        # ---- 10. end-to-end serving pipeline (+sync A/B) ----
-        srv, _ = gated("serve", ("--n", 512), cap=1200, floor=360)
+        # ---- 9. end-to-end serving pipeline (+sync A/B) ----
+        srv, _ = gated("serve", ("--n", 512), cap=900, floor=360)
         if srv:
             out["serve_captions_per_sec"] = round(
                 srv["serve_captions_per_sec"], 1)
             out["serve_sync_captions_per_sec"] = round(
                 srv["serve_sync_captions_per_sec"], 1)
             out["serve_latency_p99_s"] = srv["serve_latency_p99_s"]
+        emit()
+
+        # ---- 10. reference-algorithm decode baseline -> vs_baseline ----
+        # Last: one compile-heavy section that only restates a stable
+        # ~500x ratio (its per-step cost is relay-RTT-dominated).
+        naive, _ = gated("naive_decode", cap=600, floor=90)
+        if beam and naive:
+            out["vs_baseline"] = round(
+                beam["captions_per_sec"]
+                / naive["baseline_captions_per_sec"], 2)
+        emit()
+
+        # ---- 11. late peak retry: a starved attempt must not cost the
+        # run its MFU (one more try on whatever budget remains) ----
+        if not peak_flops:
+            peak, _ = gated("peak", cap=300, floor=90)
+            peak_flops = (peak or {}).get("peak_flops", 0.0)
+            fold_mfu(train, peak_flops)
         emit()
     except Exception as e:  # pragma: no cover - defensive
         failed.append(f"orchestrator: {e!r}")
