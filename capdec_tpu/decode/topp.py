@@ -140,6 +140,15 @@ def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
     if tc.kv_cache_int8 and chunk_write and not fused:
         raise ValueError("kv_cache_int8 on the XLA path is not combinable "
                          "with chunk_slot_write")
+    # 8-align the prefix slot count for the fused kernels (same XLA:TPU
+    # backend CHECK-crash as the beam engine: K = 4 mod 8 with a
+    # single-lane-tile n_embd — gpt2.pad_prefix_cache). No-op at the
+    # flagship K=40.
+    _k_pad = -(-K // 8) * 8
+    prefix_len = None
+    if fused and _k_pad != K:
+        prefix_cache = gpt2.pad_prefix_cache(prefix_cache, _k_pad)
+        prefix_len = K
     if tc.kv_cache_int8 and fused and tc.int8_prefix:
         prefix_cache = gpt2.quantize_prefix_cache(prefix_cache)
     # Slot dim padded to the (8, 128) memref tiling; slots >= step are
@@ -172,7 +181,8 @@ def _greedy_impl(params, cfg: gpt2.GPT2Config, tc: ToppConfig,
             fused_attention=fused, fused_interpret=tc.fused_interpret,
             fused_block_beams=tc.fused_block_beams,
             fused_slot_chunks=tc.fused_slot_chunks if fused else 0,
-            return_hidden=bool(tc.fused_lm_head))
+            return_hidden=bool(tc.fused_lm_head),
+            prefix_len=prefix_len)
         key, kp = jax.random.split(key)
         if tc.fused_lm_head:
             from ..ops.lm_head import lm_head_topk

@@ -111,12 +111,29 @@ def meteor_jar_score(predictions: List[dict], gt_metrics_format: dict,
     try:
         stats: List[str] = []
         for i in ids:
+            # SCORE lines are small and the protocol is lockstep (a reply
+            # is read before the next write), so these writes cannot
+            # outrun the pipe buffer; no deadline needed here.
             fields = [_clean(r) for r in refs[i]] + [_clean(cands[i])]
             proc.stdin.write("SCORE ||| " + " ||| ".join(fields) + "\n")
             proc.stdin.flush()
             stats.append(readline())
-        proc.stdin.write("EVAL ||| " + " ||| ".join(stats) + "\n")
-        proc.stdin.flush()
+        # The one EVAL line carries every stats vector (~100 B/image) and
+        # easily exceeds the ~64 KB pipe buffer, so a wedged jar that
+        # stops draining stdin would block this write forever — push it
+        # through a daemon thread bounded by the shared deadline.
+        eval_line = "EVAL ||| " + " ||| ".join(stats) + "\n"
+        wt = threading.Thread(
+            target=lambda: (proc.stdin.write(eval_line),
+                            proc.stdin.flush()),
+            daemon=True)
+        wt.start()
+        wt.join(timeout=max(0.0, deadline - time.monotonic()))
+        if wt.is_alive():
+            proc.kill()
+            raise TimeoutError(
+                f"METEOR jar stopped reading stdin (EVAL write blocked "
+                f"past timeout={timeout}s)")
         per_image = {i: float(readline()) for i in ids}
         aggregate = float(readline())
     finally:

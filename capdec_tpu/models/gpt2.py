@@ -262,8 +262,12 @@ def forward_hidden(params: Params, cfg: GPT2Config,
         bias = jnp.where(causal, 0.0, NEG_INF)[None, None, :, :]
     else:
         bias = attention_bias
-        while bias.ndim < 4:  # [T,T] / [1,T,T] -> [.,1,T,T]
-            bias = bias[None]
+        if bias.ndim == 2:          # [T,T] -> [1,1,T,T]
+            bias = bias[None, None]
+        elif bias.ndim == 3:        # [B,T,T] -> [B,1,T,T] (batch LEADS:
+            bias = bias[:, None]    # per-row masks broadcast over heads,
+            # not onto the head axis — [1,B,T,T] would silently apply
+            # row i's mask to head i whenever B == H)
     if attention_mask is not None:
         key_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, NEG_INF)
         bias = bias + key_bias

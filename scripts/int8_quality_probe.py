@@ -130,10 +130,12 @@ def main():
 
         # ---- beam-SCORE deltas (VERDICT r4 item 7): a quantitative ----
         # error bound that transfers to real weights better than flip
-        # counting. The beam score is the cumulative log-prob of the
-        # winning sequence, so |Δscore| integrates the int8 cache's
-        # per-step logit error over the decode; reporting it at several
-        # decode lengths shows how the error GROWS per step.
+        # counting. beam_search returns length-NORMALIZED scores
+        # (cumulative log-prob / seq_length, decode/beam.py); with
+        # stop_token=-1 every beam runs exactly `length` steps, so
+        # cumulative = returned * length. |Δcumulative| integrates the
+        # int8 cache's per-step logit error over the decode; reporting
+        # it at several lengths shows how the error GROWS per step.
         import jax.numpy as jnp
         from capdec_tpu.decode import beam_search
 
@@ -152,16 +154,18 @@ def main():
                 # scores at equal step counts are directly comparable
                 _, _, s, order = beam_search(params["gpt"], cfg.gpt2,
                                              prefix, bc_l)
-                # order ranks beams; compare rank-aligned scores
+                # order ranks beams; compare rank-aligned CUMULATIVE
+                # log-probs (un-normalize the returned score by length)
                 sc[name] = np.take_along_axis(np.asarray(s),
-                                              np.asarray(order), axis=1)
+                                              np.asarray(order),
+                                              axis=1) * length
             d = np.abs(sc["exact"] - sc["int8"])
             mag = np.abs(sc["exact"]).mean()
-            print(f"  E={length:2d}: rank-0 mean|d|={d[:, 0].mean():.5f} "
+            print(f"  E={length:2d}: rank-0 cum mean|d|={d[:, 0].mean():.5f} "
                   f"max|d|={d[:, 0].max():.5f}  all-ranks "
                   f"mean|d|={d.mean():.5f} p99={np.percentile(d, 99):.5f} "
                   f"per-step mean|d|={d[:, 0].mean() / length:.6f} "
-                  f"(mean |score|={mag:.3f})")
+                  f"(mean |cum score|={mag:.3f})")
 
 
 if __name__ == "__main__":

@@ -309,11 +309,15 @@ def test_nucleus_sampling_path(models):
     assert not np.array_equal(np.asarray(t1), np.asarray(t2))
 
 
-def test_greedy_fused_attention_matches_xla_path(models):
+@pytest.mark.parametrize("K", [5, 4])
+def test_greedy_fused_attention_matches_xla_path(models, K):
     """Greedy decode through the fused row-major Pallas kernel (interpret
-    mode on CPU) emits the same tokens as the XLA decode path."""
+    mode on CPU) emits the same tokens as the XLA decode path. Both K
+    values are unaligned, so the engine's 8-alignment prefix padding +
+    NEG_INF mask are on; K=4 is the congruence class that CHECK-crashes
+    the XLA:TPU backend unpadded (gpt2.pad_prefix_cache)."""
     tm, params, cfg = models
-    K, E = 5, 10
+    E = 10
     prefixes = _random_prefixes(4, K, SMALL["n_embd"], seed=11)
     tc_xla = ToppConfig(entry_length=E, stop_token=13, extra_stop_token=764,
                         fused_attention=False)

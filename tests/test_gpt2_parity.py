@@ -124,6 +124,31 @@ def test_reorder_kv_cache():
                                   [3.0, 3.0, 0.0, 1.0])
 
 
+def test_per_row_attention_bias_is_batch_leading(jax_params):
+    """A 3-D attention_bias [B, T, T] is per-ROW (batch leading,
+    broadcast over heads): each row's hidden states must equal a
+    separate forward with that row's own 2-D bias. Guards the expansion
+    rule — prepending ([1, B, T, T]) would silently apply row i's mask
+    to head i whenever B happens to equal n_head."""
+    params, cfg = jax_params
+    rng = np.random.RandomState(11)
+    B, T = 2, 8
+    x = jnp.asarray(rng.randn(B, T, SMALL["n_embd"]), jnp.float32)
+    causal = jnp.where(jnp.tril(jnp.ones((T, T), jnp.bool_)), 0.0,
+                       gpt2.NEG_INF)
+    blockdiag = jnp.where(
+        jnp.kron(jnp.eye(2, dtype=jnp.int8),
+                 jnp.tril(jnp.ones((T // 2, T // 2), jnp.int8))) > 0,
+        0.0, gpt2.NEG_INF)
+    per_row = jnp.stack([causal, blockdiag])            # [B, T, T]
+    h_batched = gpt2.forward_hidden(params, cfg, x, attention_bias=per_row)
+    for i, bias2d in enumerate((causal, blockdiag)):
+        h_solo = gpt2.forward_hidden(params, cfg, x[i:i + 1],
+                                     attention_bias=bias2d)
+        np.testing.assert_allclose(np.asarray(h_batched[i]),
+                                   np.asarray(h_solo[0]), rtol=0, atol=2e-5)
+
+
 def test_packed_forward_matches_per_segment(jax_params):
     """Sequence-packing plumbing (forward_hidden attention_bias +
     positions): P segments packed into one row with a block-diagonal
