@@ -70,7 +70,20 @@ import subprocess
 import sys
 import time
 
-import numpy as np
+class _LazyNumpy:
+    """Deferred `import numpy as np`. This container's sitecustomize
+    imports ALL of jax at every interpreter start (~2.3 s warm); the
+    contract tests therefore run the orchestrator under `python -S`,
+    where site-packages is absent — numpy must not be imported until a
+    real section needs it (the orchestrator itself is stdlib-only)."""
+
+    def __getattr__(self, name):
+        import numpy
+        globals()["np"] = numpy  # swap the real module in after first use
+        return getattr(numpy, name)
+
+
+np = _LazyNumpy()
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
@@ -672,8 +685,11 @@ _CURRENT_CHILD = [None]  # Popen of the in-flight section, for the handler
 
 def _run_section(name, extra=(), timeout=1800):
     """Run one section in a child process; return (result_dict | None, err)."""
-    cmd = [sys.executable, os.path.abspath(__file__), "--section", name,
-           *map(str, extra)]
+    # Children inherit -S when the parent runs without site (test mode:
+    # skips sitecustomize's ~2.3 s jax import per child; production
+    # drivers run plain python and are unaffected).
+    cmd = [sys.executable, *(["-S"] if sys.flags.no_site else []),
+           os.path.abspath(__file__), "--section", name, *map(str, extra)]
     print(f"[bench] {' '.join(cmd[1:])}", file=sys.stderr)
     t0 = time.perf_counter()
     try:

@@ -20,8 +20,6 @@ import subprocess
 import sys
 import time
 
-import pytest
-
 BENCH = os.path.join(os.path.dirname(__file__), os.pardir, "bench.py")
 
 GOOD = {
@@ -48,8 +46,10 @@ def _run(tmp_path, table, budget="600", timeout=120):
     fake.write_text(json.dumps(table))
     env = dict(os.environ, CAPDEC_BENCH_FAKE=str(fake),
                CAPDEC_BENCH_BUDGET=budget)
-    proc = subprocess.run([sys.executable, BENCH], env=env, timeout=timeout,
-                          capture_output=True, text=True)
+    # -S: skip this container's sitecustomize (it imports all of jax,
+    # ~2.3 s per interpreter); bench propagates the flag to its children.
+    proc = subprocess.run([sys.executable, "-S", BENCH], env=env,
+                          timeout=timeout, capture_output=True, text=True)
     lines = [ln for ln in proc.stdout.strip().splitlines() if ln]
     assert lines, f"no stdout at all (stderr: {proc.stderr[-2000:]})"
     # EVERY stdout line must parse (the driver takes the last one, but a
@@ -58,7 +58,6 @@ def _run(tmp_path, table, budget="600", timeout=120):
     return proc, parsed[-1], parsed
 
 
-@pytest.mark.slow
 def test_all_sections_land(tmp_path):
     proc, out, emits = _run(tmp_path, GOOD)
     assert proc.returncode == 0
@@ -104,7 +103,6 @@ def test_starved_sections_fall_back_labeled(tmp_path):
     assert len(out["sections_failed"]) >= 4
 
 
-@pytest.mark.slow
 def test_beam_failure_still_parses(tmp_path):
     table = dict(GOOD, beam="fail")
     proc, out, _ = _run(tmp_path, table)
@@ -124,7 +122,7 @@ def test_sigterm_mid_run_leaves_parsed_line(tmp_path):
     env = dict(os.environ, CAPDEC_BENCH_FAKE=str(fake),
                CAPDEC_BENCH_BUDGET="600",
                CAPDEC_BENCH_FAKE_HANG_S="60")
-    proc = subprocess.Popen([sys.executable, BENCH], env=env,
+    proc = subprocess.Popen([sys.executable, "-S", BENCH], env=env,
                             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                             text=True)
     # The first stderr line is printed AFTER the signal handlers are

@@ -62,6 +62,7 @@ def test_infer_vit_prefix_dim():
     assert got == cfg
 
 
+@pytest.mark.slow
 def test_gpt2_config_inference_standard_sizes():
     """n_head recovery relies on GPT-2's universal head_dim 64."""
     for n_embd, n_layer, n_head in ((768, 2, 12), (1024, 2, 16)):

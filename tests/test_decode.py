@@ -479,6 +479,7 @@ def test_beam_int8_kv_cache_agrees_with_fp_path(models):
     assert agree >= 0.8, f"token agreement {agree:.2%}"
 
 
+@pytest.mark.slow
 def test_greedy_int8_kv_cache_agrees_with_fp_path(models):
     """Opt-in int8 KV cache for greedy/top-p (XLA dequant path): valid
     tokens, overwhelming agreement with the exact path on the tiny model;

@@ -176,6 +176,7 @@ def test_lanes_merge_rejects_unaligned_chunk():
                      interpret=True, merge="lanes")
 
 
+@pytest.mark.slow
 def test_auto_grid_order_thresholds():
     # auto (None) resolves to the batch-outer grid; the flag only ever
     # changes the grid schedule, never the results

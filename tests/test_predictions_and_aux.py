@@ -49,6 +49,7 @@ def test_run_predictions_beam_and_greedy(tmp_path):
     assert len(res2) == 6
 
 
+@pytest.mark.slow
 def test_predictions_with_offset_changes_output():
     params = caption_model.init_params(jax.random.PRNGKey(1), TINY)
     records = [{"image_id": 0, "clip_embedding": 0}]

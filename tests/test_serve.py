@@ -44,6 +44,7 @@ def test_padding_never_leaks_and_results_match_full_batch(server):
         server.caption(rng.randn(9, TINY.prefix_size).astype(np.float32))
 
 
+@pytest.mark.slow
 def test_mesh_sharded_serving_matches_unsharded(server):
     """ServeConfig.mesh: the fixed batch shards over dp; captions must be
     identical to the single-device server (decode is embarrassingly
@@ -154,6 +155,7 @@ def test_serve_keeps_running_past_exhaust_and_honors_shutdown(server):
     assert not t.is_alive()
 
 
+@pytest.mark.slow
 def test_serve_latency_percentiles_under_poisson_load(server):
     """A Poisson arrival stream: every request is answered and the serving
     stats pin tail latency (p50 <= p95 <= p99, all positive and bounded
